@@ -1,0 +1,129 @@
+"""ctypes bridge to the C++ symbolic planner (spfx/cpp/planner.cpp).
+
+The reference's entire symbolic layer is native C (Cholesky/Source/
+SparseFrame.c:693-1978). spfx keeps symbolic analysis on the host too, with a
+C++ fast path for the O(nnz(L)) traversals (etree, column counts, supernodal
+pattern) and a pure-numpy fallback with identical semantics. Tests
+cross-validate the two.
+
+Build: ``python -m spfx.cpp.build`` (or tests/bench build it on demand).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(here, "cpp", "libspfxplanner.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        # try to build it quietly; fall back to numpy on any failure
+        try:
+            from spfx.cpp.build import build
+
+            build(quiet=True)
+        except Exception:
+            pass
+    if os.path.exists(path):
+        try:
+            lib = ctypes.CDLL(path)
+            _register(lib)
+            _LIB = lib
+        except OSError:
+            _LIB = None
+    return _LIB
+
+
+def _register(lib):
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.spfx_etree.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+    lib.spfx_etree.restype = None
+    lib.spfx_col_counts.argtypes = [ctypes.c_int64, i64p, i32p, i64p, i64p]
+    lib.spfx_col_counts.restype = None
+    lib.spfx_sn_pattern.argtypes = [
+        ctypes.c_int64, i64p, i32p, i64p, i64p, ctypes.c_int64, i64p, i64p,
+        i64p, i64p]
+    lib.spfx_sn_pattern.restype = ctypes.c_int64
+    lib.spfx_amd.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+    lib.spfx_amd.restype = ctypes.c_int64
+
+
+def available() -> bool:
+    if os.environ.get("SPFX_NO_NATIVE"):
+        return False
+    return _load() is not None
+
+
+def _i64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _i32(a):
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _p64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _p32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def etree(n, indptr, indices) -> np.ndarray:
+    lib = _load()
+    indptr, indices = _i64(indptr), _i32(indices)
+    parent = np.empty(n, dtype=np.int64)
+    lib.spfx_etree(n, _p64(indptr), _p32(indices), _p64(parent))
+    return parent
+
+
+def col_counts(n, indptr, indices, parent) -> np.ndarray:
+    lib = _load()
+    indptr, indices, parent = _i64(indptr), _i32(indices), _i64(parent)
+    counts = np.empty(n, dtype=np.int64)
+    lib.spfx_col_counts(n, _p64(indptr), _p32(indices), _p64(parent),
+                        _p64(counts))
+    return counts
+
+
+def sn_pattern(n, indptr, indices, parent, sn_of, nsuper, sn_start,
+               max_rows_total) -> tuple[np.ndarray, np.ndarray]:
+    """Per-supernode row patterns: returns (sn_ptr, sn_rows)."""
+    lib = _load()
+    indptr, indices = _i64(indptr), _i32(indices)
+    parent, sn_of, sn_start = _i64(parent), _i64(sn_of), _i64(sn_start)
+    sn_ptr = np.zeros(nsuper + 1, dtype=np.int64)
+    sn_rows = np.empty(max_rows_total, dtype=np.int64)
+    total = lib.spfx_sn_pattern(n, _p64(indptr), _p32(indices), _p64(parent),
+                                _p64(sn_of), nsuper, _p64(sn_start),
+                                _p64(sn_ptr), _p64(sn_rows), _p64(sn_rows))
+    if total < 0:
+        raise RuntimeError("sn_pattern buffer too small")
+    return sn_ptr, sn_rows[:total]
+
+
+def amd(n, indptr, indices) -> np.ndarray | None:
+    lib = _load()
+    indptr, indices = _i64(indptr), _i32(indices)
+    perm = np.empty(n, dtype=np.int64)
+    rc = lib.spfx_amd(n, _p64(indptr), _p32(indices), _p64(perm))
+    if rc != 0:
+        return None
+    return perm

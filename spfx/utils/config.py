@@ -1,0 +1,65 @@
+"""Runtime configuration for spfx.
+
+The reference keeps its entire configuration compile-time in
+``Cholesky/Include/parameter.h`` (thread counts, GPU split, relaxation policy,
+CPU/GPU dispatch thresholds, stream/buffer multiples).  spfx replaces that with
+a runtime dataclass carrying the same knob families, re-interpreted for TPU:
+
+- supernode relaxation policy   (ref: parameter.h:28-46 ``should_relax``)
+- supernode size caps           (ref: devSlotSize cap in analyze_supernodal)
+- bucketing / padding policy    (ref: node-score thresholds parameter.h:58-103,
+  which triage update tasks by (n, m, k) — here they become padded shape
+  buckets for batched TPU kernels)
+- dtype policy                  (ref is double everywhere; TPU native compute
+  is f32 with f64 iterative refinement on the solve)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # ---- ordering -------------------------------------------------------
+    # Fill-reducing ordering. The reference's active method is METIS nested
+    # dissection (Cholesky/Source/SparseFrame.c:1935-1937); AMD/CAMD exist but
+    # are commented out. spfx ships: "nd" (BFS-separator nested dissection),
+    # "amd" (approximate minimum degree), "rcm", "identity", "auto".
+    ordering: str = "auto"
+    nd_leaf_size: int = 96          # subgraphs below this are ordered directly
+
+    # ---- supernode formation (ref analyze_supernodal :1471-1625) --------
+    max_sn_cols: int = 256          # hard cap on supernode width
+    # Relaxed amalgamation thresholds: merge a child supernode into its parent
+    # if merged width <= relax_width[i] and the fraction of explicit zeros
+    # introduced stays below relax_fill[i] (ref should_relax parameter.h:28-46).
+    relax_width: Tuple[int, ...] = (16, 48, 128, 256)
+    relax_fill: Tuple[float, ...] = (1.0, 0.5, 0.2, 0.05)
+
+    # ---- bucketing / padding (ref node-score triage parameter.h:58-103) --
+    pad_min: int = 8                # minimum padded dim (f32 sublane tile)
+    pad_batch_min: int = 1          # minimum padded batch
+    max_gather_elems: int = 1 << 25 # chunk batched updates above this many
+                                    # gathered f32 elements (HBM working set)
+
+    # ---- numeric --------------------------------------------------------
+    dtype: str = "float32"          # device compute dtype
+    refine_iters: int = 3           # f64 iterative-refinement sweeps on solve
+    refine_tol: float = 1e-12       # stop refinement below this scaled resid
+
+    # ---- misc -----------------------------------------------------------
+    validate: bool = False          # run residual validation after factorize
+    profile: bool = False           # per-phase wall timers (ref info.h:146-149)
+
+
+DEFAULT = Config()
+
+
+def pad_pow2(x: int, lo: int = 8) -> int:
+    """Round ``x`` up to a power of two, at least ``lo``."""
+    if x <= lo:
+        return lo
+    p = 1 << (int(x - 1).bit_length())
+    return p
