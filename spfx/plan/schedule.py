@@ -1,0 +1,292 @@
+"""Static factorization schedule: the TPU replacement for the reference's
+dynamic runtime scheduling.
+
+What the reference does at runtime, spfx does at plan time:
+- leaf queue / topological task scheduling (Cholesky/Source/
+  SparseFrame.c:2300-2306, 2962-2986)      -> etree *levels*: all supernodes
+  of one level are independent and run as one batched kernel invocation.
+- per-update (n,m,k) score triage between CPU and GPU (parameter.h:58-103)
+  -> shape *buckets*: tasks padded to power-of-two (M,N,K) classes so each
+  class is one batched MXU kernel.
+- createMap/createRelativeMap scatter maps (cuda_kernel.cu:22-60)
+  -> precomputed *decomposed* index vectors: the flat position of panel entry
+  (r,c) is row_off[r] + col_off[c], so the plan stores O(M+N) integers per
+  task instead of O(M*N), and kernels rebuild the 2-D index on the fly.
+- the GPU slot/stage machinery (:1721-1907) -> nothing: XLA owns HBM, and the
+  level loop's working set is the transient gather/update buffers.
+
+Storage layout: each supernode panel is a dense column-major (nsrow x nscol)
+block in one flat value array; flat position of local (r, c) is
+offset_s + r + c * nsrow_s. Two sentinel slots terminate the array:
+slot xsize   ("ZERO")  — always 0.0, target of out-of-range *gathers*;
+slot xsize+1 ("TRASH") — junk accumulator, target of out-of-range *scatters*.
+Contributions whose target entry is outside the supernode pattern are exactly
+zero by the elimination-tree fill theorem, so dropping them into TRASH is
+lossless.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+import scipy.sparse as sp
+
+from spfx.symbolic.analyze import Symbolic
+from spfx.utils.config import Config, DEFAULT, pad_pow2
+
+
+def _pad2(x: int, lo: int) -> int:
+    return pad_pow2(int(x), lo) if x > 0 else 0
+
+
+@dataclasses.dataclass
+class PanelBucket:
+    """A batch of same-padded-shape supernode panels at one level."""
+    sns: np.ndarray            # (B,) supernode ids
+    diag_row_off: np.ndarray   # (B, Cp) int32; offset_s + r, -1 invalid
+    col_off: np.ndarray        # (B, Cp) int32; c * nsrow_s, -1 invalid
+    below_row_off: np.ndarray  # (B, Rbp) int32; offset_s + w_s + r, -1 invalid
+    xcols: np.ndarray          # (B, Cp) int32 global columns (solve), -1
+    xrows: np.ndarray          # (B, Rbp) int32 global below rows (solve), -1
+    flops: float
+    _dev: tuple = None
+
+    def dev(self):
+        if self._dev is None:
+            import jax.numpy as jnp
+            self._dev = tuple(jnp.asarray(a) for a in (
+                self.diag_row_off, self.col_off, self.below_row_off,
+                self.xcols, self.xrows))
+        return self._dev
+
+
+@dataclasses.dataclass
+class UpdateBucket:
+    """A batch of same-padded-shape descendant->ancestor update tasks.
+
+    Each task computes C = Ld[lpos:, :] @ Ld[lpos:lpos+N, :]^T and
+    scatter-subtracts it into the ancestor's panel (ref cpuApply :2030-2102 /
+    mappedSubtract cuda_kernel.cu:62-124, minus the atomics: grouping by level
+    plus XLA's deterministic scatter-add removes the race by construction).
+    """
+    src_row_off: np.ndarray    # (B, Mp) int32 into descendant panel
+    src_col_off: np.ndarray    # (B, Kp)
+    tgt_row_off: np.ndarray    # (B, Mp) into ancestor panel, -1 invalid
+    tgt_col_off: np.ndarray    # (B, Np)
+    flops: float
+    _dev: tuple = None
+
+    def dev(self):
+        if self._dev is None:
+            import jax.numpy as jnp
+            self._dev = tuple(jnp.asarray(a) for a in (
+                self.src_row_off, self.src_col_off,
+                self.tgt_row_off, self.tgt_col_off))
+        return self._dev
+
+
+@dataclasses.dataclass
+class LevelPlan:
+    panels: List[PanelBucket]
+    updates: List[UpdateBucket]
+
+
+@dataclasses.dataclass
+class FactorPlan:
+    n: int
+    xsize: int
+    levels: List[LevelPlan]
+    assembly_idx: np.ndarray   # flat L position per permuted-lower-A entry
+    offsets: np.ndarray        # (nsuper,) panel offsets
+    flops: float
+    assembly_idx_u: np.ndarray | None = None  # LU: U^T panel positions for
+    #                                           strict-upper A entries
+
+    @property
+    def storage(self) -> int:
+        return self.xsize + 2     # + ZERO and TRASH sentinel slots
+
+
+def _row_position_lookup(sym: Symbolic):
+    """Vectorised (supernode, global row) -> local pattern row index, or -1.
+
+    Encodes pattern membership as strictly increasing keys s*(n+1)+row over
+    the concatenated patterns, then one searchsorted answers all queries.
+    """
+    n = sym.n
+    R = np.diff(sym.sn_ptr)
+    row_sn = np.repeat(np.arange(sym.nsuper, dtype=np.int64), R)
+    hay = row_sn * (n + 1) + sym.sn_rows
+
+    def rowpos(s_arr, i_arr):
+        q = s_arr.astype(np.int64) * (n + 1) + i_arr
+        p = np.searchsorted(hay, q)
+        pc = np.minimum(p, len(hay) - 1)
+        valid = hay[pc] == q
+        local = pc - sym.sn_ptr[s_arr]
+        return np.where(valid, local, -1)
+
+    return rowpos
+
+
+def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
+               lu: bool = False) -> FactorPlan:
+    """Compile the symbolic factorization + matrix pattern into the static
+    batched schedule (the TPU-era analyze_supernodal stages e-h)."""
+    n = sym.n
+    nsuper = sym.nsuper
+    W = np.diff(sym.sn_start).astype(np.int64)
+    R = np.diff(sym.sn_ptr).astype(np.int64)
+    offsets = np.zeros(nsuper, dtype=np.int64)
+    np.cumsum(R[:-1] * W[:-1], out=offsets[1:])
+    xsize = int((R * W).sum())
+    if xsize + 2 >= 2**31:
+        raise ValueError(f"factor too large for int32 indexing: {xsize}")
+    first_col = sym.sn_start[:-1]
+    rowpos = _row_position_lookup(sym)
+    lo = config.pad_min
+
+    # ---------------- panel buckets per level ---------------------------
+    nlev = int(sym.sn_level.max()) + 1 if nsuper else 0
+    levels = [LevelPlan([], []) for _ in range(nlev)]
+    order = np.argsort(sym.sn_level, kind="stable")
+    lvl_sorted = sym.sn_level[order]
+    total_flops = 0.0
+    for lv in range(nlev):
+        sns = order[np.searchsorted(lvl_sorted, lv):
+                    np.searchsorted(lvl_sorted, lv, side="right")]
+        w, r = W[sns], R[sns]
+        keys = np.stack([np.minimum(w, 10**9), r - w], axis=1)
+        pkeys = np.stack([[_pad2(a, lo), _pad2(b, lo)] for a, b in keys]) \
+            if len(sns) else np.zeros((0, 2), np.int64)
+        for key in np.unique(pkeys, axis=0) if len(sns) else []:
+            cp, rbp = int(key[0]), int(key[1])
+            sel = sns[(pkeys[:, 0] == cp) & (pkeys[:, 1] == rbp)]
+            levels[lv].panels.append(
+                _make_panel_bucket(sel, W, R, offsets, first_col, sym,
+                                   cp, rbp))
+            total_flops += levels[lv].panels[-1].flops
+
+    # ---------------- update tasks --------------------------------------
+    # below-diagonal pattern entries of every supernode, tagged with their
+    # owner supernode (the ancestor whose columns contain that row)
+    m = len(sym.sn_rows)
+    row_sn = np.repeat(np.arange(nsuper, dtype=np.int64), R)
+    loc = np.arange(m, dtype=np.int64) - sym.sn_ptr[row_sn]
+    isbelow = loc >= W[row_sn]
+    d_ent = row_sn[isbelow]
+    i_ent = sym.sn_rows[isbelow]
+    lpos_ent = loc[isbelow]
+    if len(d_ent):
+        owner = sym.sn_of[i_ent]
+        key = d_ent * nsuper + owner
+        starts = np.flatnonzero(np.diff(key, prepend=key[0] - 1))
+        t_d = d_ent[starts]
+        t_s = owner[starts]
+        t_lpos = lpos_ent[starts]
+        t_N = np.diff(np.append(starts, len(d_ent)))
+        t_M = R[t_d] - t_lpos
+        t_K = W[t_d]
+        t_level = sym.sn_level[t_d]
+        t_pad = np.stack([
+            [_pad2(a, lo) for a in t_M],
+            [_pad2(a, lo) for a in t_N],
+            [_pad2(a, lo) for a in t_K]], axis=1)
+        for lv in range(nlev):
+            in_lv = np.flatnonzero(t_level == lv)
+            if not len(in_lv):
+                continue
+            pads = t_pad[in_lv]
+            for key in np.unique(pads, axis=0):
+                mp, np_, kp = int(key[0]), int(key[1]), int(key[2])
+                sel = in_lv[(pads == key).all(axis=1)]
+                # chunk so one batch's gather stays under the HBM budget
+                per = max(1, config.max_gather_elems // max(1, mp * kp))
+                for c0 in range(0, len(sel), per):
+                    ub = _make_update_bucket(
+                        sel[c0:c0 + per], t_d, t_s, t_lpos, t_M, t_N, t_K,
+                        W, R, offsets, first_col, sym, rowpos, mp, np_, kp)
+                    levels[lv].updates.append(ub)
+                    total_flops += ub.flops
+
+    # ---------------- assembly scatter (ref loadA :1998-2028) ------------
+    def entry_positions(M: sp.csc_matrix) -> np.ndarray:
+        arow = M.indices.astype(np.int64)
+        acol = np.repeat(np.arange(n, dtype=np.int64), np.diff(M.indptr))
+        s_of = sym.sn_of[acol]
+        lpos = rowpos(s_of, arow)
+        if (lpos < 0).any():
+            raise AssertionError("A entry outside factor pattern")
+        return offsets[s_of] + lpos + (acol - first_col[s_of]) * R[s_of]
+
+    Ap = sp.csc_matrix(A)[sym.perm][:, sym.perm]
+    assembly_idx = entry_positions(sp.tril(Ap).tocsc())
+    assembly_idx_u = None
+    if lu:
+        # strict-upper entry (i,j), i<j, lives in the U^T panel of the
+        # supernode owning column i, at (rowpos(j), i - c1) — which is the
+        # lower-triangle position map applied to Ap^T
+        # (ref LU loadA, LU/Source/SparseFrame.c:2478-2536).
+        assembly_idx_u = entry_positions(sp.tril(Ap.T, -1).tocsc())
+
+    return FactorPlan(n=n, xsize=xsize, levels=levels,
+                      assembly_idx=assembly_idx, offsets=offsets,
+                      flops=(2.0 if lu else 1.0) * total_flops,
+                      assembly_idx_u=assembly_idx_u)
+
+
+def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp):
+    B = len(sel)
+    w, r, off = W[sel], R[sel], offsets[sel]
+    ci = np.arange(cp, dtype=np.int64)[None, :]
+    vc = ci < w[:, None]
+    diag_row_off = np.where(vc, off[:, None] + ci, -1)
+    col_off = np.where(vc, ci * r[:, None], -1)
+    ri = np.arange(rbp, dtype=np.int64)[None, :]
+    vr = ri < (r - w)[:, None]
+    below_row_off = np.where(vr, off[:, None] + w[:, None] + ri, -1)
+    xcols = np.where(vc, first_col[sel][:, None] + ci, -1)
+    pat_idx = np.minimum(sym.sn_ptr[sel][:, None] + w[:, None] + ri,
+                         len(sym.sn_rows) - 1) if len(sym.sn_rows) else \
+        np.zeros((B, rbp), np.int64)
+    xrows = np.where(vr, sym.sn_rows[pat_idx], -1) if rbp else \
+        np.zeros((B, 0), np.int64)
+    flops = float((w.astype(float)**3 / 3.0
+                   + (r - w).astype(float) * w.astype(float)**2).sum())
+    i32 = np.int32
+    return PanelBucket(sel, diag_row_off.astype(i32), col_off.astype(i32),
+                       below_row_off.astype(i32), xcols.astype(i32),
+                       xrows.astype(i32), flops)
+
+
+def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
+                        W, R, offsets, first_col, sym, rowpos, mp, np_, kp):
+    B = len(sel)
+    d, s = t_d[sel], t_s[sel]
+    lpos, M, N, K = t_lpos[sel], t_M[sel], t_N[sel], t_K[sel]
+    mi = np.arange(mp, dtype=np.int64)[None, :]
+    vm = mi < M[:, None]
+    src_row_off = np.where(vm, offsets[d][:, None] + lpos[:, None] + mi, -1)
+    ki = np.arange(kp, dtype=np.int64)[None, :]
+    vk = ki < K[:, None]
+    src_col_off = np.where(vk, ki * R[d][:, None], -1)
+    # global rows covered by each task's M window
+    pat = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + mi,
+                     len(sym.sn_rows) - 1)
+    grow = sym.sn_rows[pat]
+    tpos = rowpos(np.broadcast_to(s[:, None], grow.shape).ravel(),
+                  grow.ravel()).reshape(grow.shape)
+    tgt_row_off = np.where(vm & (tpos >= 0), offsets[s][:, None] + tpos, -1)
+    ni = np.arange(np_, dtype=np.int64)[None, :]
+    vn = ni < N[:, None]
+    patn = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + ni,
+                      len(sym.sn_rows) - 1)
+    q = sym.sn_rows[patn]
+    tgt_col_off = np.where(vn, (q - first_col[s][:, None]) * R[s][:, None], -1)
+    flops = float(2.0 * (M.astype(float) * N * K).sum())
+    i32 = np.int32
+    return UpdateBucket(src_row_off.astype(i32), src_col_off.astype(i32),
+                        tgt_row_off.astype(i32), tgt_col_off.astype(i32),
+                        flops)

@@ -56,10 +56,12 @@ def _register(lib):
     lib.spfx_etree.restype = None
     lib.spfx_col_counts.argtypes = [ctypes.c_int64, i64p, i32p, i64p, i64p]
     lib.spfx_col_counts.restype = None
-    lib.spfx_sn_pattern.argtypes = [
-        ctypes.c_int64, i64p, i32p, i64p, i64p, ctypes.c_int64, i64p, i64p,
-        i64p, i64p]
-    lib.spfx_sn_pattern.restype = ctypes.c_int64
+    lib.spfx_sn_pattern_count.argtypes = [
+        ctypes.c_int64, i64p, i32p, i64p, i64p, ctypes.c_int64, i64p]
+    lib.spfx_sn_pattern_count.restype = ctypes.c_int64
+    lib.spfx_sn_pattern_fill.argtypes = [
+        ctypes.c_int64, i64p, i32p, i64p, i64p, ctypes.c_int64, i64p, i64p]
+    lib.spfx_sn_pattern_fill.restype = None
     lib.spfx_amd.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
     lib.spfx_amd.restype = ctypes.c_int64
 
@@ -103,20 +105,20 @@ def col_counts(n, indptr, indices, parent) -> np.ndarray:
     return counts
 
 
-def sn_pattern(n, indptr, indices, parent, sn_of, nsuper, sn_start,
-               max_rows_total) -> tuple[np.ndarray, np.ndarray]:
+def sn_pattern(n, indptr, indices, parent, sn_of,
+               nsuper) -> tuple[np.ndarray, np.ndarray]:
     """Per-supernode row patterns: returns (sn_ptr, sn_rows)."""
     lib = _load()
     indptr, indices = _i64(indptr), _i32(indices)
-    parent, sn_of, sn_start = _i64(parent), _i64(sn_of), _i64(sn_start)
+    parent, sn_of = _i64(parent), _i64(sn_of)
     sn_ptr = np.zeros(nsuper + 1, dtype=np.int64)
-    sn_rows = np.empty(max_rows_total, dtype=np.int64)
-    total = lib.spfx_sn_pattern(n, _p64(indptr), _p32(indices), _p64(parent),
-                                _p64(sn_of), nsuper, _p64(sn_start),
-                                _p64(sn_ptr), _p64(sn_rows), _p64(sn_rows))
-    if total < 0:
-        raise RuntimeError("sn_pattern buffer too small")
-    return sn_ptr, sn_rows[:total]
+    total = lib.spfx_sn_pattern_count(n, _p64(indptr), _p32(indices),
+                                      _p64(parent), _p64(sn_of), nsuper,
+                                      _p64(sn_ptr))
+    sn_rows = np.empty(total, dtype=np.int64)
+    lib.spfx_sn_pattern_fill(n, _p64(indptr), _p32(indices), _p64(parent),
+                             _p64(sn_of), nsuper, _p64(sn_ptr), _p64(sn_rows))
+    return sn_ptr, sn_rows
 
 
 def amd(n, indptr, indices) -> np.ndarray | None:

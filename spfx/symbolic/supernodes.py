@@ -161,13 +161,7 @@ def sn_patterns(A: sp.csc_matrix, parent: np.ndarray, sn_start: np.ndarray,
     nsuper = len(sn_start) - 1
     indptr, indices = A.indptr, A.indices
     if _native.available():
-        # upper bound on total rows: sum over sn of (n - first_col) is too
-        # big; do a counting pass in native code instead (two-pass inside)
-        widths = sn_start[1:] - sn_start[:-1]
-        cap = int(min(int(widths.sum()) + n * nsuper, 2**62))
-        # native does its own two-pass; cap arg unused beyond sanity
-        return _native.sn_pattern(n, indptr, indices, parent, sn_of, nsuper,
-                                  sn_start, cap)
+        return _native.sn_pattern(n, indptr, indices, parent, sn_of, nsuper)
     mark = np.full(n, -1, dtype=np.int64)
     sn_stamp = np.full(nsuper, -1, dtype=np.int64)
     rows = [[] for _ in range(nsuper)]
