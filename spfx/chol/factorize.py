@@ -53,14 +53,13 @@ class CholeskyFactor:
         xp = np.zeros((n + 1, b2.shape[1]), dtype=dtype)
         xp[:n] = b2[self.sym.perm]
         x = jnp.asarray(xp)
-        for lp in self.plan.levels:
-            for pb in lp.panels:
-                d = pb.dev()
-                x = blocks.solve_fwd_level(self.L, x, *d)
-        for lp in reversed(self.plan.levels):
-            for pb in lp.panels:
-                d = pb.dev()
-                x = blocks.solve_bwd_level(self.L, x, *d)
+        with jax.default_matmul_precision(self.config.matmul_precision):
+            for lp in self.plan.levels:
+                for pb in lp.panels:
+                    x = blocks.solve_fwd_level(self.L, x, *pb.dev())
+            for lp in reversed(self.plan.levels):
+                for pb in lp.panels:
+                    x = blocks.solve_bwd_level(self.L, x, *pb.dev())
         xh = np.asarray(x[:n])
         out = np.empty_like(xh)
         out[self.sym.perm] = xh
@@ -140,12 +139,13 @@ class Cholesky:
         L0 = np.zeros(self.plan.storage, dtype=dtype)
         L0[self.plan.assembly_idx] = low.data
         L = jnp.asarray(L0)
-        for lp in self.plan.levels:
-            for pb in lp.panels:
-                d = pb.dev()
-                L = blocks.factor_panels_chol(L, d[0], d[1], d[2])
-            for ub in lp.updates:
-                L = blocks.apply_updates_sym(L, *ub.dev())
+        with jax.default_matmul_precision(self.config.matmul_precision):
+            for lp in self.plan.levels:
+                for pb in lp.panels:
+                    d = pb.dev()
+                    L = blocks.factor_panels_chol(L, d[0], d[1], d[2])
+                for ub in lp.updates:
+                    L = blocks.apply_updates_sym(L, *ub.dev())
         return CholeskyFactor(A, self.sym, self.plan, L, self.config)
 
 

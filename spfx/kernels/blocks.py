@@ -143,6 +143,15 @@ def factor_panels_lu(Lx, Ux, diag_row_off, col_off, below_row_off):
     (ref twin-block storage, LU/Source/SparseFrame.c:1786-1797)."""
     DL = _diag_block(Lx, diag_row_off, col_off)   # A11 (lower+diag from Lx)
     DU = _gather(Ux, diag_row_off, col_off)       # A11^T strict upper part
+    # Each panel's unused diag-block triangle accumulates harmless scatter
+    # garbage from updates (upper-of-lower / upper-of-U^T slots); mask both to
+    # their meaningful triangles before summing, and exclude DU's diagonal —
+    # the diagonal lives in Lx only (double-count otherwise).
+    cp = DL.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
+    DL = jnp.where((row >= col)[None], DL, 0)
+    DU = jnp.where((row > col)[None], DU, 0)
     D = DL + jnp.swapaxes(DU, 1, 2)               # full diagonal block
     L11, U11 = getrf_nopiv(D)
     BL = _gather(Lx, below_row_off, col_off)      # A21

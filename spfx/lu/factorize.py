@@ -51,12 +51,13 @@ class LUFactor:
         xp = np.zeros((n + 1, b2.shape[1]), dtype=dtype)
         xp[:n] = b2[self.sym.perm]
         x = jnp.asarray(xp)
-        for lp in self.plan.levels:
-            for pb in lp.panels:
-                x = blocks.solve_fwd_level_lu(self.Lx, x, *pb.dev())
-        for lp in reversed(self.plan.levels):
-            for pb in lp.panels:
-                x = blocks.solve_bwd_level_lu(self.Ux, x, *pb.dev())
+        with jax.default_matmul_precision(self.config.matmul_precision):
+            for lp in self.plan.levels:
+                for pb in lp.panels:
+                    x = blocks.solve_fwd_level_lu(self.Lx, x, *pb.dev())
+            for lp in reversed(self.plan.levels):
+                for pb in lp.panels:
+                    x = blocks.solve_bwd_level_lu(self.Ux, x, *pb.dev())
         xh = np.asarray(x[:n])
         out = np.empty_like(xh)
         out[self.sym.perm] = xh
@@ -133,12 +134,13 @@ class LU:
         L0[self.plan.assembly_idx] = low.data
         U0[self.plan.assembly_idx_u] = upt.data
         Lx, Ux = jnp.asarray(L0), jnp.asarray(U0)
-        for lp in self.plan.levels:
-            for pb in lp.panels:
-                d = pb.dev()
-                Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0], d[1], d[2])
-            for ub in lp.updates:
-                Lx, Ux = blocks.apply_updates_lu(Lx, Ux, *ub.dev())
+        with jax.default_matmul_precision(self.config.matmul_precision):
+            for lp in self.plan.levels:
+                for pb in lp.panels:
+                    d = pb.dev()
+                    Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0], d[1], d[2])
+                for ub in lp.updates:
+                    Lx, Ux = blocks.apply_updates_lu(Lx, Ux, *ub.dev())
         return LUFactor(A, self.sym, self.plan, Lx, Ux, self.config)
 
 

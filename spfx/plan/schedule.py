@@ -237,6 +237,17 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                       assembly_idx_u=assembly_idx_u)
 
 
+def _pad_batch(arrs, B):
+    """Pad bucket arrays along batch dim to the next power of two with fully
+    invalid (-1) items, so distinct jit signatures stay logarithmic."""
+    Bp = pad_pow2(B, 1)
+    if Bp == B:
+        return arrs
+    return [np.concatenate(
+        [a, np.full((Bp - B,) + a.shape[1:], -1, dtype=a.dtype)])
+        for a in arrs]
+
+
 def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp):
     B = len(sel)
     w, r, off = W[sel], R[sel], offsets[sel]
@@ -256,9 +267,8 @@ def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp):
     flops = float((w.astype(float)**3 / 3.0
                    + (r - w).astype(float) * w.astype(float)**2).sum())
     i32 = np.int32
-    return PanelBucket(sel, diag_row_off.astype(i32), col_off.astype(i32),
-                       below_row_off.astype(i32), xcols.astype(i32),
-                       xrows.astype(i32), flops)
+    arrs = _pad_batch([diag_row_off, col_off, below_row_off, xcols, xrows], B)
+    return PanelBucket(sel, *(a.astype(i32) for a in arrs), flops)
 
 
 def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
@@ -287,6 +297,5 @@ def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     tgt_col_off = np.where(vn, (q - first_col[s][:, None]) * R[s][:, None], -1)
     flops = float(2.0 * (M.astype(float) * N * K).sum())
     i32 = np.int32
-    return UpdateBucket(src_row_off.astype(i32), src_col_off.astype(i32),
-                        tgt_row_off.astype(i32), tgt_col_off.astype(i32),
-                        flops)
+    arrs = _pad_batch([src_row_off, src_col_off, tgt_row_off, tgt_col_off], B)
+    return UpdateBucket(*(a.astype(i32) for a in arrs), flops)

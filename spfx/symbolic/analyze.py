@@ -102,9 +102,11 @@ def analyze(A: sp.spmatrix, config: Config = DEFAULT,
     # 6. supernodal row patterns
     sn_ptr, sn_rows = sn_patterns(App, parent, sn_start, sn_of)
 
-    # 7. static level schedule: node levels -> supernode level via last col
+    # 7. static level schedule: node levels -> supernode level via last col,
+    #    compressed to dense ranks (empty levels would waste schedule steps)
     nlev = etree_levels(parent)
-    sn_level = nlev[sn_start[1:] - 1].astype(np.int64)
+    raw = nlev[sn_start[1:] - 1]
+    sn_level = np.searchsorted(np.unique(raw), raw).astype(np.int64)
 
     c = counts.astype(np.float64)
     return Symbolic(

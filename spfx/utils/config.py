@@ -46,6 +46,10 @@ class Config:
 
     # ---- numeric --------------------------------------------------------
     dtype: str = "float32"          # device compute dtype
+    # TPU MXU f32 matmuls default to a single bf16 pass (~1e-3 accuracy);
+    # direct solvers need "highest" (bf16x6) or "float32" for f32-grade
+    # factors. Iterative refinement then recovers f64-grade solves.
+    matmul_precision: str = "highest"
     refine_iters: int = 3           # f64 iterative-refinement sweeps on solve
     refine_tol: float = 1e-12       # stop refinement below this scaled resid
 
