@@ -164,10 +164,13 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         for key in np.unique(pkeys, axis=0) if len(sns) else []:
             cp, rbp = int(key[0]), int(key[1])
             sel = sns[(pkeys[:, 0] == cp) & (pkeys[:, 1] == rbp)]
-            levels[lv].panels.append(
-                _make_panel_bucket(sel, W, R, offsets, first_col, sym,
-                                   cp, rbp))
-            total_flops += levels[lv].panels[-1].flops
+            qb = _batch_quantum(len(sel), (cp + rbp) * cp,
+                                config.max_gather_elems)
+            for c0 in range(0, len(sel), qb):
+                pb = _make_panel_bucket(sel[c0:c0 + qb], W, R, offsets,
+                                        first_col, sym, cp, rbp, qb)
+                levels[lv].panels.append(pb)
+                total_flops += pb.flops
 
     # ---------------- update tasks --------------------------------------
     # below-diagonal pattern entries of every supernode, tagged with their
@@ -202,12 +205,15 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             for key in np.unique(pads, axis=0):
                 mp, np_, kp = int(key[0]), int(key[1]), int(key[2])
                 sel = in_lv[(pads == key).all(axis=1)]
-                # chunk so one batch's gather stays under the HBM budget
-                per = max(1, config.max_gather_elems // max(1, mp * kp))
-                for c0 in range(0, len(sel), per):
+                # quantum: bounded by the gather working-set budget, floored
+                # so tiny populations share a signature
+                qb = _batch_quantum(len(sel), mp * (kp + np_),
+                                    config.max_gather_elems)
+                for c0 in range(0, len(sel), qb):
                     ub = _make_update_bucket(
-                        sel[c0:c0 + per], t_d, t_s, t_lpos, t_M, t_N, t_K,
-                        W, R, offsets, first_col, sym, rowpos, mp, np_, kp)
+                        sel[c0:c0 + qb], t_d, t_s, t_lpos, t_M, t_N, t_K,
+                        W, R, offsets, first_col, sym, rowpos, mp, np_, kp,
+                        qb)
                     levels[lv].updates.append(ub)
                     total_flops += ub.flops
 
@@ -237,19 +243,33 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                       assembly_idx_u=assembly_idx_u)
 
 
-def _pad_batch(arrs, B):
-    """Pad bucket arrays along batch dim to the next power of two with fully
-    invalid (-1) items, so distinct jit signatures stay logarithmic."""
-    Bp = pad_pow2(B, 1)
-    if Bp == B:
+def _pad_batch(arrs, B, Bq):
+    """Pad bucket arrays along batch dim to exactly ``Bq`` rows with fully
+    invalid (-1) items. Every chunk of a shape class uses the same quantum
+    Bq, so the class compiles exactly one jit signature regardless of how
+    many tasks it holds."""
+    if Bq == B:
         return arrs
     return [np.concatenate(
-        [a, np.full((Bp - B,) + a.shape[1:], -1, dtype=a.dtype)])
+        [a, np.full((Bq - B,) + a.shape[1:], -1, dtype=a.dtype)])
         for a in arrs]
 
 
-def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp):
+def _batch_quantum(total: int, per_item_elems: int, budget: int) -> int:
+    """Power-of-two chunk size for a shape class: large enough to batch well,
+    small enough to keep one chunk's gather working set under ``budget``
+    elements, never more than the (padded) class population."""
+    per = max(1, per_item_elems)
+    qcap = 1 << (max(1, budget // per).bit_length() - 1)
+    # floor: batch at least ~2^18 gathered elements per call so tiny classes
+    # round up to a shared quantum instead of minting one signature per B
+    qmin = min(qcap, pad_pow2(max(1, (1 << 18) // per), 1))
+    return min(max(pad_pow2(total, 1), qmin), qcap)
+
+
+def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp, qb=None):
     B = len(sel)
+    qb = pad_pow2(B, 1) if qb is None else qb
     w, r, off = W[sel], R[sel], offsets[sel]
     ci = np.arange(cp, dtype=np.int64)[None, :]
     vc = ci < w[:, None]
@@ -267,13 +287,16 @@ def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp):
     flops = float((w.astype(float)**3 / 3.0
                    + (r - w).astype(float) * w.astype(float)**2).sum())
     i32 = np.int32
-    arrs = _pad_batch([diag_row_off, col_off, below_row_off, xcols, xrows], B)
+    arrs = _pad_batch([diag_row_off, col_off, below_row_off, xcols, xrows],
+                      B, qb)
     return PanelBucket(sel, *(a.astype(i32) for a in arrs), flops)
 
 
 def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
-                        W, R, offsets, first_col, sym, rowpos, mp, np_, kp):
+                        W, R, offsets, first_col, sym, rowpos, mp, np_, kp,
+                        qb=None):
     B = len(sel)
+    qb = pad_pow2(B, 1) if qb is None else qb
     d, s = t_d[sel], t_s[sel]
     lpos, M, N, K = t_lpos[sel], t_M[sel], t_N[sel], t_K[sel]
     mi = np.arange(mp, dtype=np.int64)[None, :]
@@ -297,5 +320,6 @@ def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     tgt_col_off = np.where(vn, (q - first_col[s][:, None]) * R[s][:, None], -1)
     flops = float(2.0 * (M.astype(float) * N * K).sum())
     i32 = np.int32
-    arrs = _pad_batch([src_row_off, src_col_off, tgt_row_off, tgt_col_off], B)
+    arrs = _pad_batch([src_row_off, src_col_off, tgt_row_off, tgt_col_off],
+                      B, qb)
     return UpdateBucket(*(a.astype(i32) for a in arrs), flops)

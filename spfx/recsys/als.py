@@ -2,19 +2,21 @@
 
 Per BASELINE.json's north star: user/item embedding tables are row-sharded
 across a device mesh; each half-iteration solves a batch of k x k regularized
-normal equations with the batched Cholesky kernels (spfx.kernels.dense); the
-read-side factor table is replicated on demand by XLA (all_gather over ICI)
-because the padded interaction gather indexes arbitrary rows.
+normal equations with the batched Cholesky kernels (spfx.kernels.dense). A
+sweep is ONE jitted shard_map program: every device updates its own row shard
+(data parallelism over users/items) while the read-side table is passed in
+replicated (XLA's all_gather over ICI materializes it), and the shared
+Gramian G = Y^T Y is computed once per sweep as a sharded matmul (psum).
 
 Implicit ALS (Hu-Koren-Volinsky): minimize
   sum_ui c_ui (p_ui - u_u . v_i)^2 + lam (|U|^2 + |V|^2),
   c_ui = 1 + alpha r_ui, p_ui = [r_ui > 0],
-using the Gramian trick: A_u = V^T V + V_u^T diag(c-1) V_u + lam I.
+with the Gramian trick A_u = V^T V + V_u^T diag(c-1) V_u + lam I.
+Explicit ALS: alternating ridge regression on observed entries.
 
-Explicit ALS: standard alternating ridge regression on observed entries.
-
-All shapes are static: interactions are degree-capped padded index arrays
-(spfx.recsys.data.padded_rows), users/items processed in fixed-size chunks.
+All shapes static: interactions are degree-capped padded index arrays
+(spfx.recsys.data.padded_rows); each device scans its shard in fixed-size
+chunks (config.chunk rows per chunk per device).
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
 
 from spfx.dist.mesh import make_mesh, round_up
 from spfx.kernels.dense import batched_chol_solve
@@ -42,35 +45,25 @@ class ALSConfig:
     iters: int = 10
     user_cap: int = 256         # degree cap (padded row width), users
     item_cap: int = 512         # degree cap, items
-    chunk: int = 4096           # rows solved per kernel launch
+    chunk: int = 1024           # rows per chunk per device
     dtype: str = "float32"
     seed: int = 0
 
 
-# ----------------------------------------------------------------------------
-# one-sided update: solve the normal equations for every row of one table
-# ----------------------------------------------------------------------------
+def _solve_rows(Yz, G, idx, rat, lam, alpha, implicit: bool):
+    """Normal-equation solve for one chunk of rows.
 
-@partial(jax.jit, static_argnames=("implicit",), donate_argnums=0)
-def _update_chunk(Xout_chunk, Yother, idx, rat, lam, alpha, implicit: bool):
-    """Solve rows of one factor table given the other table.
-
-    Xout_chunk: (C, k) rows being replaced (donated, only shape/dtype used)
-    Yother:     (m+1, k) the other table with a zero row appended at index m
-                (padding rows gather zeros — same sentinel trick as the
-                sparse engine's ZERO slot)
-    idx:        (C, D) padded neighbor ids (-1 padding)
-    rat:        (C, D) ratings (0 padding)
+    Yz: (m+1, k) read-side table with a zero sentinel row at index m
+    G:  (k, k) shared Gramian Y^T Y (zero on the explicit path)
+    idx/rat: (C, D) padded neighbor ids (-1 pad) and ratings (0 pad)
     """
-    k = Yother.shape[1]
-    m = Yother.shape[0] - 1
+    k = Yz.shape[1]
+    m = Yz.shape[0] - 1
     gi = jnp.where(idx >= 0, idx, m)
-    Yg = Yother[gi]                               # (C, D, k)
+    Yg = Yz[gi]                                    # (C, D, k)
     mask = (idx >= 0).astype(Yg.dtype)
     if implicit:
-        cm1 = alpha * rat                          # c - 1, 0 on padding
-        G = jnp.einsum("nk,nl->kl", Yother[:m], Yother[:m],
-                       preferred_element_type=Yg.dtype)
+        cm1 = alpha * rat                          # c - 1; 0 on padding
         A = G[None] + jnp.einsum("cdk,cd,cdl->ckl", Yg, cm1, Yg,
                                  preferred_element_type=Yg.dtype)
         b = jnp.einsum("cdk,cd->ck", Yg, (1.0 + cm1) * mask,
@@ -84,6 +77,49 @@ def _update_chunk(Xout_chunk, Yother, idx, rat, lam, alpha, implicit: bool):
     return batched_chol_solve(A, b[..., None])[..., 0]
 
 
+def make_sweep(mesh: Mesh, implicit: bool, chunk: int):
+    """Build the jitted sharded sweep: (Yother, idx, rat, lam, alpha) -> Xnew.
+
+    Each device scans its local row shard in ``chunk``-row chunks; Yother is
+    consumed replicated (in_spec P() => all_gather of the row-sharded table).
+    """
+    axis = mesh.axis_names[0]
+
+    def local_sweep(idx_l, rat_l, Yz, G, lam, alpha):
+        nloc = idx_l.shape[0]
+        nch = max(1, nloc // chunk)
+        idx_r = idx_l.reshape(nch, nloc // nch, -1)
+        rat_r = rat_l.reshape(nch, nloc // nch, -1)
+
+        def body(args):
+            i_, r_ = args
+            return _solve_rows(Yz, G, i_, r_, lam, alpha, implicit)
+
+        out = jax.lax.map(body, (idx_r, rat_r))
+        return out.reshape(nloc, -1)
+
+    smapped = shard_map(
+        local_sweep, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=P(axis))
+
+    @jax.jit
+    def sweep(Yother, idx, rat, lam, alpha):
+        k = Yother.shape[1]
+        # Gramian over the full table: sharded matmul -> psum; padded and
+        # sentinel rows are zero so they contribute nothing.
+        if implicit:
+            G = jnp.einsum("nk,nl->kl", Yother, Yother,
+                           preferred_element_type=Yother.dtype)
+        else:
+            G = jnp.zeros((k, k), Yother.dtype)
+        Yz = jnp.concatenate(
+            [Yother, jnp.zeros((1, k), Yother.dtype)], axis=0)
+        return smapped(idx, rat, Yz, G, lam, alpha)
+
+    return sweep
+
+
 class ALSModel:
     """Row-sharded ALS/iALS model over a 1-D device mesh."""
 
@@ -95,7 +131,7 @@ class ALSModel:
         ndev = self.mesh.devices.size
         c = config
         dtype = jnp.dtype(c.dtype)
-        # pad table sizes so chunks and shards divide evenly
+        # pad table sizes so shards and per-device chunks divide evenly
         self.nu = round_up(data.num_users, c.chunk * ndev)
         self.ni = round_up(data.num_items, c.chunk * ndev)
         self.u_idx, self.u_rat = padded_rows(
@@ -106,37 +142,30 @@ class ALSModel:
             c.item_cap, pad_rows_to=self.ni)
         rng = np.random.default_rng(c.seed)
         scale = 1.0 / np.sqrt(c.rank)
-        self.shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
-        self.U = jax.device_put(
-            (rng.standard_normal((self.nu, c.rank)) * scale).astype(dtype),
-            self.shard)
-        self.V = jax.device_put(
-            (rng.standard_normal((self.ni, c.rank)) * scale).astype(dtype),
-            self.shard)
+        U0 = (rng.standard_normal((self.nu, c.rank)) * scale).astype(dtype)
+        V0 = (rng.standard_normal((self.ni, c.rank)) * scale).astype(dtype)
+        U0[data.num_users:] = 0      # alignment-padding rows must stay zero
+        V0[data.num_items:] = 0      # (they feed the shared Gramian)
+        axis = self.mesh.axis_names[0]
+        self.shard = NamedSharding(self.mesh, P(axis))
+        self.U = jax.device_put(U0, self.shard)
+        self.V = jax.device_put(V0, self.shard)
+        self._sweep = make_sweep(self.mesh, c.implicit, c.chunk)
+        self._u_idx_d = jax.device_put(self.u_idx, self.shard)
+        self._u_rat_d = jax.device_put(self.u_rat, self.shard)
+        self._i_idx_d = jax.device_put(self.i_idx, self.shard)
+        self._i_rat_d = jax.device_put(self.i_rat, self.shard)
+        self._lam = jnp.asarray(c.lam, dtype)
+        self._alpha = jnp.asarray(c.alpha, dtype)
 
-    # -- core sweeps ------------------------------------------------------
-
-    def _sweep(self, Xout, Yother, idx, rat):
-        """Update every row of Xout from Yother over fixed-size chunks."""
-        c = self.config
-        m = Yother.shape[0]
-        Yz = jnp.concatenate(
-            [Yother, jnp.zeros((1, c.rank), Yother.dtype)], axis=0)
-        outs = []
-        for c0 in range(0, Xout.shape[0], c.chunk):
-            chunk = Xout[c0:c0 + c.chunk]
-            outs.append(_update_chunk(
-                chunk, Yz,
-                jnp.asarray(idx[c0:c0 + c.chunk]),
-                jnp.asarray(rat[c0:c0 + c.chunk]),
-                jnp.asarray(c.lam, Yother.dtype),
-                jnp.asarray(c.alpha, Yother.dtype), c.implicit))
-        return jnp.concatenate(outs, axis=0)
+    # -- training ---------------------------------------------------------
 
     def step(self):
-        """One full ALS iteration (users then items)."""
-        self.U = self._sweep(self.U, self.V, self.u_idx, self.u_rat)
-        self.V = self._sweep(self.V, self.U, self.i_idx, self.i_rat)
+        """One full ALS iteration (users then items), two jitted sweeps."""
+        self.U = self._sweep(self.V, self._u_idx_d, self._u_rat_d,
+                             self._lam, self._alpha)
+        self.V = self._sweep(self.U, self._i_idx_d, self._i_rat_d,
+                             self._lam, self._alpha)
 
     def fit(self, iters: int | None = None, log=None):
         iters = self.config.iters if iters is None else iters
@@ -155,7 +184,11 @@ class ALSModel:
     # -- evaluation -------------------------------------------------------
 
     def loss(self) -> float:
-        """Implicit-ALS objective on observed entries (monitoring only)."""
+        """ALS objective on observed entries (monitoring only).
+
+        For the implicit model this is the observed-entry part plus
+        regularization (the full iALS objective also sums unobserved pairs;
+        this cheaper surrogate is only used to monitor progress)."""
         U = np.asarray(self.U)[:self.data.num_users]
         V = np.asarray(self.V)[:self.data.num_items]
         preds = np.einsum("nk,nk->n", U[self.data.user_ids],
@@ -169,10 +202,26 @@ class ALSModel:
         reg = c.lam * (float((U ** 2).sum()) + float((V ** 2).sum()))
         return err + reg
 
+    def full_implicit_loss(self) -> float:
+        """Exact iALS objective including all unobserved (u,i) pairs, via the
+        Gramian identity: sum_ui (u.v)^2 = tr((U^T U)(V^T V))."""
+        c = self.config
+        U = np.asarray(self.U)[:self.data.num_users].astype(np.float64)
+        V = np.asarray(self.V)[:self.data.num_items].astype(np.float64)
+        preds = np.einsum("nk,nk->n", U[self.data.user_ids],
+                          V[self.data.item_ids])
+        w = c.alpha * self.data.ratings
+        obs = float((w * (1.0 - preds) ** 2).sum()) \
+            + float((1.0 - preds) ** 2 - preds ** 2).sum()
+        allpairs = float(np.trace((U.T @ U) @ (V.T @ V)))
+        reg = c.lam * (float((U ** 2).sum()) + float((V ** 2).sum()))
+        return obs + allpairs + reg
+
     def topk(self, k: int = 20, exclude_train: bool = True,
              chunk: int = 4096) -> np.ndarray:
         """Brute-force top-k retrieval: scores = U V^T, lax.top_k per user."""
         nu = self.data.num_users
+        ni = self.data.num_items
         out = np.zeros((nu, k), dtype=np.int32)
 
         @jax.jit
@@ -180,20 +229,17 @@ class ALSModel:
             s = jnp.einsum("ck,mk->cm", Uc, V,
                            preferred_element_type=jnp.float32)
             if exclude_train:
-                # mask train items (padded idx -1 -> harmless extra col)
-                oob = s.shape[1]
-                gi = jnp.where(idx >= 0, idx, oob - 1 + 0)
-                mask = jnp.zeros_like(s).at[
-                    jnp.arange(s.shape[0])[:, None], gi].set(
-                    jnp.where(idx >= 0, -jnp.inf, 0.0))
-                s = s + mask
+                rows = jnp.arange(s.shape[0])[:, None]
+                gi = jnp.where(idx >= 0, idx, 0)
+                delta = jnp.where(idx >= 0, -jnp.inf, 0.0)
+                s = s.at[rows, gi].add(delta)
             return jax.lax.top_k(s, k)[1]
 
-        V = self.V[:self.data.num_items]
+        V = self.V[:ni]
         for c0 in range(0, nu, chunk):
             hi = min(c0 + chunk, nu)
-            got = score_chunk(self.U[c0:c0 + chunk],
-                              V, jnp.asarray(self.u_idx[c0:c0 + chunk]))
+            got = score_chunk(self.U[c0:c0 + chunk], V,
+                              jnp.asarray(self.u_idx[c0:c0 + chunk]))
             out[c0:hi] = np.asarray(got)[:hi - c0]
         return out
 
@@ -201,7 +247,6 @@ class ALSModel:
                  k_ndcg: int = 10) -> dict:
         """recall@20 and NDCG@10 against a held-out interaction set."""
         topk = self.topk(k=max(k_recall, k_ndcg))
-        # group test items per user
         order = np.argsort(test.user_ids, kind="stable")
         u, i = test.user_ids[order], test.item_ids[order]
         starts = np.searchsorted(u, np.arange(test.num_users))

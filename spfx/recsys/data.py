@@ -101,14 +101,14 @@ def synthetic(num_users: int = 2000, num_items: int = 500,
     rng = np.random.default_rng(seed)
     Ut = rng.standard_normal((num_users, rank)) / np.sqrt(rank)
     Vt = rng.standard_normal((num_items, rank)) / np.sqrt(rank)
-    pop = (1.0 / np.arange(1, num_items + 1) ** 0.8)
+    pop = (1.0 / np.arange(1, num_items + 1) ** 0.4)
     pop /= pop.sum()
     deg = np.maximum(2, rng.poisson(avg_degree, size=num_users))
     us, its = [], []
     for u in range(num_users):
         # mix popularity with user affinity
         aff = Ut[u] @ Vt.T
-        p = pop * np.exp(2.0 * (aff - aff.max()))
+        p = pop * np.exp(4.0 * (aff - aff.max()))
         p /= p.sum()
         chosen = rng.choice(num_items, size=min(deg[u], num_items // 2),
                             replace=False, p=p)
