@@ -91,9 +91,10 @@ class CholeskyFactor:
             c1, c2 = sym.sn_start[s], sym.sn_start[s + 1]
             rr = sym.sn_row_list(s)
             R = len(rr)
+            w = c2 - c1
             off = self.plan.offsets[s]
-            for c in range(c2 - c1):
-                v = Lh[off + c * R + np.arange(R)]
+            for c in range(w):
+                v = Lh[off + np.arange(R) * w + c]     # row-major panel
                 keep = rr >= c1 + c
                 rows.append(rr[keep])
                 cols.append(np.full(keep.sum(), c1 + c))
@@ -109,9 +110,9 @@ class CholeskyFactor:
         tot = 0.0
         for s in range(sym.nsuper):
             c1, c2 = sym.sn_start[s], sym.sn_start[s + 1]
-            R = sym.sn_ptr[s + 1] - sym.sn_ptr[s]
+            w = c2 - c1
             off = self.plan.offsets[s]
-            d = Lh[off + np.arange(c2 - c1) * (R + 1)]
+            d = Lh[off + np.arange(w) * (w + 1)]       # row-major diagonal
             tot += np.log(d).sum()
         return 2.0 * tot
 
@@ -145,7 +146,8 @@ class Cholesky:
                     d = pb.dev()
                     L = blocks.factor_panels_chol(L, d[0], d[1], d[2])
                 for ub in lp.updates:
-                    L = blocks.apply_updates_sym(L, *ub.dev())
+                    L = blocks.apply_updates_sym(L, *ub.dev(),
+                                                 kp=ub.kp, csp=ub.csp)
         return CholeskyFactor(A, self.sym, self.plan, L, self.config)
 
 

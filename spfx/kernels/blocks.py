@@ -3,13 +3,20 @@
 These replace the reference's cuBLAS/cuSOLVER calls (dsyrk/dgemm/dtrsm/
 dpotrf, Cholesky/Source/SparseFrame.c:2549-2940) and its CUDA map/scatter
 kernels (cuda_kernel.cu). Everything is batched over a bucket of same-padded
-supernode tasks; XLA lowers the einsums onto the MXU and fuses the gathers.
-A Pallas fast path for the hot shapes lives in spfx.kernels.pallas_blocks.
+supernode tasks.
 
-Index convention (see spfx.plan.schedule): flat panel position of local
-(r, c) = row_off[r] + col_off[c]; negative offsets mark padding/out-of-
-pattern. Gathers send invalid positions to the ZERO sentinel slot
-(always 0.0); scatters send them to the TRASH slot (never read).
+Memory-access design (see spfx.plan.schedule): panels are row-major, so all
+panel traffic is *windowed* — a fixed-width contiguous slice per panel row —
+which XLA lowers to vector loads/stores instead of elementwise gathers:
+- gathers: lax.gather with slice_sizes=(window,), FILL_OR_DROP (start = -1
+  reads zeros);
+- scatters: lax.scatter_add of whole rows (start = -1 drops); overlapping
+  window tails carry exact zeros, so the overlap-adds are no-ops;
+- the irregular *column* placement of an update inside its target panel is a
+  one-hot matmul (MXU), not a scatter;
+- panel factorization results are written back as deltas (new - old), so the
+  windowed add leaves neighbouring data untouched and lands garbage slots on
+  exactly 0.0 (g + (0 - g) == 0 in IEEE).
 """
 
 from __future__ import annotations
@@ -20,28 +27,38 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-
-def _gather(L, row_off, col_off):
-    """(B,X),(B,Y) offsets -> (B,X,Y) panel block; invalid -> 0."""
-    zero = L.shape[0] - 2
-    valid = (row_off[:, :, None] >= 0) & (col_off[:, None, :] >= 0)
-    idx = jnp.where(valid, row_off[:, :, None] + col_off[:, None, :], zero)
-    return L[idx]
+_FILL = lax.GatherScatterMode.FILL_OR_DROP
 
 
-def _scatter_idx(L, row_off, col_off):
-    trash = L.shape[0] - 1
-    valid = (row_off[:, :, None] >= 0) & (col_off[:, None, :] >= 0)
-    return jnp.where(valid, row_off[:, :, None] + col_off[:, None, :], trash)
+def _win_gather(L, starts, win: int):
+    """(B, X) int32 row starts -> (B, X, win); start<0 or OOB -> zeros."""
+    B, X = starts.shape
+    out = lax.gather(
+        L, starts.reshape(-1, 1),
+        lax.GatherDimensionNumbers(offset_dims=(1,),
+                                   collapsed_slice_dims=(),
+                                   start_index_map=(0,)),
+        slice_sizes=(win,), mode=_FILL, fill_value=0)
+    return out.reshape(B, X, win)
 
 
-def _diag_block(L, diag_row_off, col_off):
-    """Gather the diagonal block and place unit pivots on padded columns so
-    the dense factorization is well-posed (padding factors to identity)."""
-    D = _gather(L, diag_row_off, col_off)
-    cp = D.shape[1]
-    pad = (col_off < 0).astype(L.dtype)
-    return D + jnp.eye(cp, dtype=L.dtype)[None] * pad[:, None, :]
+def _win_scatter_add(L, starts, upd):
+    """starts (S,) int32, upd (S, win): L[s:s+win] += upd row-wise;
+    start<0 drops the row."""
+    win = upd.shape[-1]
+    if starts.size == 0 or win == 0:
+        return L
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    return lax.scatter_add(L, starts.reshape(-1, 1),
+                           upd.reshape(-1, win), dnums,
+                           indices_are_sorted=False, unique_indices=False,
+                           mode=_FILL)
+
+
+def _col_mask(widths, cp, dtype):
+    return (jnp.arange(cp)[None, :] < widths[:, None]).astype(dtype)
 
 
 # --------------------------------------------------------------------------
@@ -50,33 +67,43 @@ def _diag_block(L, diag_row_off, col_off):
 # --------------------------------------------------------------------------
 
 @partial(jax.jit, donate_argnums=0)
-def factor_panels_chol(L, diag_row_off, col_off, below_row_off):
-    D = _diag_block(L, diag_row_off, col_off)
-    # symmetrize_input=False: only the lower triangle is stored/assembled;
-    # the default would average in the (zero/garbage) upper slots.
+def factor_panels_chol(L, widths, diag_row_start, below_row_start):
+    cp = diag_row_start.shape[1]
+    cm = _col_mask(widths, cp, L.dtype)                  # (B, Cp)
+    Draw = _win_gather(L, diag_row_start, cp)            # (B, Cp, Cp)
+    D = Draw * cm[:, None, :]
+    D = D + jnp.eye(cp, dtype=L.dtype)[None] * (1.0 - cm)[:, None, :]
     L11 = lax.linalg.cholesky(D, symmetrize_input=False)
-    Bg = _gather(L, below_row_off, col_off)
-    L21 = lax.linalg.triangular_solve(L11, Bg, left_side=False, lower=True,
+    Braw = _win_gather(L, below_row_start, cp)
+    L21 = lax.linalg.triangular_solve(L11, Braw * cm[:, None, :],
+                                      left_side=False, lower=True,
                                       transpose_a=True)
-    L = L.at[_scatter_idx(L, diag_row_off, col_off)].set(L11)
-    L = L.at[_scatter_idx(L, below_row_off, col_off)].set(L21)
-    return L
+    on = cm[:, None, :] > 0
+    dD = jnp.where(on, L11, Draw) - Draw
+    dB = jnp.where(on, L21, Braw) - Braw
+    L = _win_scatter_add(L, diag_row_start, dD)
+    return _win_scatter_add(L, below_row_start, dB)
 
 
 # --------------------------------------------------------------------------
 # Symmetric descendant update: C = Ld[lpos:, :] @ Ld[lpos:lpos+N, :]^T,
-# scatter-subtract into the ancestor front
+# expanded to the target width by one-hot matmul, row-windowed subtract
 # (ref cpuApply dsyrk+dgemm :2061-2086 / GPU stream loop :2514-2698 +
 #  mappedSubtract cuda_kernel.cu:62-124)
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, donate_argnums=0)
-def apply_updates_sym(L, src_row_off, src_col_off, tgt_row_off, tgt_col_off):
-    G = _gather(L, src_row_off, src_col_off)          # (B, Mp, Kp)
-    np_ = tgt_col_off.shape[1]
+@partial(jax.jit, donate_argnums=0, static_argnames=("kp", "csp"))
+def apply_updates_sym(L, kw, src_row_start, tgt_row_start, tgt_cpos,
+                      kp: int, csp: int):
+    G = _win_gather(L, src_row_start, kp)                # (B, Mp, kp)
+    G = G * _col_mask(kw, kp, L.dtype)[:, None, :]
+    np_ = tgt_cpos.shape[1]
     C = jnp.einsum("bmk,bnk->bmn", G, G[:, :np_, :],
                    preferred_element_type=L.dtype)
-    return L.at[_scatter_idx(L, tgt_row_off, tgt_col_off)].add(-C)
+    oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :])
+    E = jnp.einsum("bmn,bnc->bmc", C, oh.astype(L.dtype),
+                   preferred_element_type=L.dtype)
+    return _win_scatter_add(L, tgt_row_start, -E)
 
 
 # --------------------------------------------------------------------------
@@ -87,9 +114,8 @@ def apply_updates_sym(L, src_row_off, src_col_off, tgt_row_off, tgt_col_off):
 # --------------------------------------------------------------------------
 
 def getrf_nopiv(D):
-    """Batched unpivoted LU of (B, C, C): returns (Lunit, U) with L unit
-    lower-triangular and U upper-triangular. Blocked recursion so the MXU
-    does the bulk of the work at larger C."""
+    """Batched unpivoted LU of (B, C, C): returns (Lunit, U). Blocked
+    recursion so the MXU does the bulk of the work at larger C."""
     c = D.shape[-1]
     if c <= 32:
         return _getrf_nopiv_unblocked(D)
@@ -103,9 +129,8 @@ def getrf_nopiv(D):
     S = A22 - jnp.einsum("bik,bkj->bij", L21, U12,
                          preferred_element_type=D.dtype)
     L22, U22 = getrf_nopiv(S)
-    zeros_ur = jnp.zeros_like(A12)
     Lf = jnp.concatenate([
-        jnp.concatenate([L11, zeros_ur], axis=2),
+        jnp.concatenate([L11, jnp.zeros_like(A12)], axis=2),
         jnp.concatenate([L21, L22], axis=2)], axis=1)
     Uf = jnp.concatenate([
         jnp.concatenate([U11, U12], axis=2),
@@ -121,7 +146,7 @@ def _getrf_nopiv_unblocked(D):
 
     def body(k, A):
         piv = A[:, k, k][:, None]
-        colk = A[:, :, k] / piv                      # multipliers
+        colk = A[:, :, k] / piv
         colk = jnp.where(row[None, :, k] > k, colk, 0.0)
         rowk = jnp.where(col[None, k, :] >= k, A[:, k, :], 0.0)
         A = A - colk[:, :, None] * rowk[:, None, :]
@@ -137,60 +162,73 @@ def _getrf_nopiv_unblocked(D):
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def factor_panels_lu(Lx, Ux, diag_row_off, col_off, below_row_off):
-    """Factor LU supernode panels. Lx holds the L panels (col-major, unit
-    diagonal stored explicitly), Ux holds U^T panels with the same pattern
-    (ref twin-block storage, LU/Source/SparseFrame.c:1786-1797)."""
-    DL = _diag_block(Lx, diag_row_off, col_off)   # A11 (lower+diag from Lx)
-    DU = _gather(Ux, diag_row_off, col_off)       # A11^T strict upper part
-    # Each panel's unused diag-block triangle accumulates harmless scatter
-    # garbage from updates (upper-of-lower / upper-of-U^T slots); mask both to
-    # their meaningful triangles before summing, and exclude DU's diagonal —
-    # the diagonal lives in Lx only (double-count otherwise).
-    cp = DL.shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
-    DL = jnp.where((row >= col)[None], DL, 0)
-    DU = jnp.where((row > col)[None], DU, 0)
-    D = DL + jnp.swapaxes(DU, 1, 2)               # full diagonal block
+def factor_panels_lu(Lx, Ux, widths, diag_row_start, below_row_start):
+    """Factor LU supernode panels. Lx holds L panels (unit diagonal stored
+    explicitly), Ux holds U^T panels with the same row pattern (ref
+    side-by-side L|U storage, LU/Source/SparseFrame.c:1786-1797).
+
+    Meaningful triangles: Lx diag block lower (incl diag), Ux diag block
+    strictly lower (diag of A lives in Lx; Ux's diag slots hold pivots only
+    after factorization). Everything else in the diag block is scatter
+    garbage and is masked away."""
+    cp = diag_row_start.shape[1]
+    cm = _col_mask(widths, cp, Lx.dtype)
+    row = lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
+    col = lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
+    DLraw = _win_gather(Lx, diag_row_start, cp)
+    DUraw = _win_gather(Ux, diag_row_start, cp)
+    DL = DLraw * cm[:, None, :]
+    DU = DUraw * cm[:, None, :]
+    D = jnp.where((row >= col)[None], DL, 0) \
+        + jnp.swapaxes(jnp.where((row > col)[None], DU, 0), 1, 2)
+    D = D + jnp.eye(cp, dtype=Lx.dtype)[None] * (1.0 - cm)[:, None, :]
     L11, U11 = getrf_nopiv(D)
-    BL = _gather(Lx, below_row_off, col_off)      # A21
-    BU = _gather(Ux, below_row_off, col_off)      # A12^T
-    L21 = lax.linalg.triangular_solve(U11, BL, left_side=False, lower=False)
-    U12t = lax.linalg.triangular_solve(L11, BU, left_side=False, lower=True,
+    BLraw = _win_gather(Lx, below_row_start, cp)
+    BUraw = _win_gather(Ux, below_row_start, cp)
+    L21 = lax.linalg.triangular_solve(U11, BLraw * cm[:, None, :],
+                                      left_side=False, lower=False)
+    U12t = lax.linalg.triangular_solve(L11, BUraw * cm[:, None, :],
+                                       left_side=False, lower=True,
                                        unit_diagonal=True, transpose_a=True)
-    Lx = Lx.at[_scatter_idx(Lx, diag_row_off, col_off)].set(L11)
-    Lx = Lx.at[_scatter_idx(Lx, below_row_off, col_off)].set(L21)
-    Ux = Ux.at[_scatter_idx(Ux, diag_row_off, col_off)].set(
-        jnp.swapaxes(U11, 1, 2))
-    Ux = Ux.at[_scatter_idx(Ux, below_row_off, col_off)].set(U12t)
+    on = cm[:, None, :] > 0
+    Lx = _win_scatter_add(Lx, diag_row_start,
+                          jnp.where(on, L11, DLraw) - DLraw)
+    Lx = _win_scatter_add(Lx, below_row_start,
+                          jnp.where(on, L21, BLraw) - BLraw)
+    U11t = jnp.swapaxes(U11, 1, 2)
+    Ux = _win_scatter_add(Ux, diag_row_start,
+                          jnp.where(on, U11t, DUraw) - DUraw)
+    Ux = _win_scatter_add(Ux, below_row_start,
+                          jnp.where(on, U12t, BUraw) - BUraw)
     return Lx, Ux
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def apply_updates_lu(Lx, Ux, src_row_off, src_col_off, tgt_row_off,
-                     tgt_col_off):
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("kp", "csp"))
+def apply_updates_lu(Lx, Ux, kw, src_row_start, tgt_row_start, tgt_cpos,
+                     kp: int, csp: int):
     """LU descendant update pair (ref U8, LU/Source/SparseFrame.c:2569-2604):
-    L-side: A[i,q] -= Ld[i,:] . Ud[:,q]   (i rows >= lpos, q target cols)
-    U-side: A[q,i] -= Ld[q,:] . Ud[:,i]   (stored into the U^T panel)
-    """
-    GL = _gather(Lx, src_row_off, src_col_off)     # (B, Mp, Kp) rows of Ld
-    GU = _gather(Ux, src_row_off, src_col_off)     # (B, Mp, Kp) rows of Ud^T
-    np_ = tgt_col_off.shape[1]
+    L side: A[i,q] -= Ld[i,:] . Ud[:,q];  U side: A[q,i] -= Ld[q,:] . Ud[:,i]
+    (stored into the U^T panel at the same positions)."""
+    km = _col_mask(kw, kp, Lx.dtype)[:, None, :]
+    GL = _win_gather(Lx, src_row_start, kp) * km
+    GU = _win_gather(Ux, src_row_start, kp) * km
+    np_ = tgt_cpos.shape[1]
     CL = jnp.einsum("bmk,bnk->bmn", GL, GU[:, :np_, :],
                     preferred_element_type=Lx.dtype)
     CU = jnp.einsum("bmk,bnk->bmn", GU, GL[:, :np_, :],
                     preferred_element_type=Lx.dtype)
-    idxL = _scatter_idx(Lx, tgt_row_off, tgt_col_off)
-    Lx = Lx.at[idxL].add(-CL)
-    Ux = Ux.at[idxL].add(-CU)
+    oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :]) \
+        .astype(Lx.dtype)
+    EL = jnp.einsum("bmn,bnc->bmc", CL, oh, preferred_element_type=Lx.dtype)
+    EU = jnp.einsum("bmn,bnc->bmc", CU, oh, preferred_element_type=Lx.dtype)
+    Lx = _win_scatter_add(Lx, tgt_row_start, -EL)
+    Ux = _win_scatter_add(Ux, tgt_row_start, -EU)
     return Lx, Ux
 
 
 # --------------------------------------------------------------------------
 # Supernodal triangular solves, batched per level
-# (ref solve_supernodal :3036-3139 — scalar and sequential there; batched
-#  dense blocks here)
+# (ref solve_supernodal :3036-3139 — scalar and sequential there)
 # --------------------------------------------------------------------------
 
 def _x_idx(x, g):
@@ -198,23 +236,33 @@ def _x_idx(x, g):
     return jnp.where(g >= 0, g, sent)
 
 
+def _panel_parts(L, widths, diag_row_start, below_row_start, unit_pad=True):
+    cp = diag_row_start.shape[1]
+    cm = _col_mask(widths, cp, L.dtype)
+    L11 = _win_gather(L, diag_row_start, cp) * cm[:, None, :]
+    if unit_pad:
+        L11 = L11 + jnp.eye(cp, dtype=L.dtype)[None] * (1.0 - cm)[:, None, :]
+    L21 = _win_gather(L, below_row_start, cp) * cm[:, None, :]
+    return L11, L21
+
+
 @partial(jax.jit, donate_argnums=1)
-def solve_fwd_level(L, x, diag_row_off, col_off, below_row_off, xcols, xrows):
+def solve_fwd_level(L, x, widths, diag_row_start, below_row_start, xcols,
+                    xrows):
     """x[cols] = L11^{-1} x[cols];  x[below] -= L21 @ x[cols]."""
-    L11 = _diag_block(L, diag_row_off, col_off)
+    L11, L21 = _panel_parts(L, widths, diag_row_start, below_row_start)
     b = x[_x_idx(x, xcols)]
     y = lax.linalg.triangular_solve(L11, b, left_side=True, lower=True)
     x = x.at[_x_idx(x, xcols)].set(y)
-    L21 = _gather(L, below_row_off, col_off)
     upd = jnp.einsum("brc,bch->brh", L21, y, preferred_element_type=x.dtype)
     return x.at[_x_idx(x, xrows)].add(-upd)
 
 
 @partial(jax.jit, donate_argnums=1)
-def solve_bwd_level(L, x, diag_row_off, col_off, below_row_off, xcols, xrows):
+def solve_bwd_level(L, x, widths, diag_row_start, below_row_start, xcols,
+                    xrows):
     """x[cols] = L11^{-T} (x[cols] - L21^T @ x[below])."""
-    L11 = _diag_block(L, diag_row_off, col_off)
-    L21 = _gather(L, below_row_off, col_off)
+    L11, L21 = _panel_parts(L, widths, diag_row_start, below_row_start)
     yb = x[_x_idx(x, xrows)]
     t = x[_x_idx(x, xcols)] - jnp.einsum("brc,brh->bch", L21, yb,
                                          preferred_element_type=x.dtype)
@@ -224,26 +272,24 @@ def solve_bwd_level(L, x, diag_row_off, col_off, below_row_off, xcols, xrows):
 
 
 @partial(jax.jit, donate_argnums=1)
-def solve_fwd_level_lu(Lx, x, diag_row_off, col_off, below_row_off, xcols,
-                       xrows):
+def solve_fwd_level_lu(Lx, x, widths, diag_row_start, below_row_start,
+                       xcols, xrows):
     """Forward solve on unit-L (ref LU solve :3592-3700, no divide)."""
-    L11 = _diag_block(Lx, diag_row_off, col_off)
+    L11, L21 = _panel_parts(Lx, widths, diag_row_start, below_row_start)
     b = x[_x_idx(x, xcols)]
     y = lax.linalg.triangular_solve(L11, b, left_side=True, lower=True,
                                     unit_diagonal=True)
     x = x.at[_x_idx(x, xcols)].set(y)
-    L21 = _gather(Lx, below_row_off, col_off)
     upd = jnp.einsum("brc,bch->brh", L21, y, preferred_element_type=x.dtype)
     return x.at[_x_idx(x, xrows)].add(-upd)
 
 
 @partial(jax.jit, donate_argnums=1)
-def solve_bwd_level_lu(Ux, x, diag_row_off, col_off, below_row_off, xcols,
-                       xrows):
+def solve_bwd_level_lu(Ux, x, widths, diag_row_start, below_row_start,
+                       xcols, xrows):
     """Backward solve on U: x[cols] = U11^{-1} (x[cols] - U12 @ x[below]).
-    Ux stores U^T panels, so U11 = DU^T and U12 = BU^T."""
-    DU = _diag_block(Ux, diag_row_off, col_off)     # U11^T (lower)
-    BU = _gather(Ux, below_row_off, col_off)        # U12^T rows
+    Ux stores U^T panels: U11 = DU^T (DU lower incl pivots), U12^T = BU."""
+    DU, BU = _panel_parts(Ux, widths, diag_row_start, below_row_start)
     yb = x[_x_idx(x, xrows)]
     t = x[_x_idx(x, xcols)] - jnp.einsum("brc,brh->bch", BU, yb,
                                          preferred_element_type=x.dtype)

@@ -88,14 +88,16 @@ class LUFactor:
             c1, c2 = sym.sn_start[s], sym.sn_start[s + 1]
             rr = sym.sn_row_list(s)
             R = len(rr)
+            w = c2 - c1
             off = self.plan.offsets[s]
-            for c in range(c2 - c1):
-                colv = Lh[off + c * R + np.arange(R)]
+            for c in range(w):
+                pos = off + np.arange(R) * w + c       # row-major panel
+                colv = Lh[pos]
                 keep = rr >= c1 + c
                 lr.append(rr[keep]); lc.append(np.full(keep.sum(), c1 + c))
                 lv.append(colv[keep])
                 # U^T panel column c holds U[c1+c, rr] for rr >= c1+c
-                colu = Uh[off + c * R + np.arange(R)]
+                colu = Uh[pos]
                 ur.append(np.full(keep.sum(), c1 + c)); uc.append(rr[keep])
                 uv.append(colu[keep])
         n = sym.n
@@ -140,7 +142,8 @@ class LU:
                     d = pb.dev()
                     Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0], d[1], d[2])
                 for ub in lp.updates:
-                    Lx, Ux = blocks.apply_updates_lu(Lx, Ux, *ub.dev())
+                    Lx, Ux = blocks.apply_updates_lu(
+                        Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
         return LUFactor(A, self.sym, self.plan, Lx, Ux, self.config)
 
 

@@ -6,23 +6,24 @@ What the reference does at runtime, spfx does at plan time:
   SparseFrame.c:2300-2306, 2962-2986)      -> etree *levels*: all supernodes
   of one level are independent and run as one batched kernel invocation.
 - per-update (n,m,k) score triage between CPU and GPU (parameter.h:58-103)
-  -> shape *buckets*: tasks padded to power-of-two (M,N,K) classes so each
-  class is one batched MXU kernel.
+  -> shape *buckets*: tasks padded to power-of-two classes, each class one
+  batched MXU kernel with a fixed power-of-two batch quantum.
 - createMap/createRelativeMap scatter maps (cuda_kernel.cu:22-60)
-  -> precomputed *decomposed* index vectors: the flat position of panel entry
-  (r,c) is row_off[r] + col_off[c], so the plan stores O(M+N) integers per
-  task instead of O(M*N), and kernels rebuild the 2-D index on the fly.
-- the GPU slot/stage machinery (:1721-1907) -> nothing: XLA owns HBM, and the
-  level loop's working set is the transient gather/update buffers.
+  -> precomputed row-start vectors: panels are stored ROW-MAJOR so every
+  gather/scatter is a contiguous window per panel row (XLA lowers these to
+  vector loads/stores, not elementwise gathers); the irregular *column*
+  placement of an update is realized as a one-hot matmul on the MXU.
+- the GPU slot/stage machinery (:1721-1907) -> nothing: XLA owns HBM; batch
+  quanta bound the transient working set.
 
-Storage layout: each supernode panel is a dense column-major (nsrow x nscol)
+Storage layout: each supernode panel is a dense row-major (nsrow x nscol)
 block in one flat value array; flat position of local (r, c) is
-offset_s + r + c * nsrow_s. Two sentinel slots terminate the array:
-slot xsize   ("ZERO")  — always 0.0, target of out-of-range *gathers*;
-slot xsize+1 ("TRASH") — junk accumulator, target of out-of-range *scatters*.
-Contributions whose target entry is outside the supernode pattern are exactly
-zero by the elimination-tree fill theorem, so dropping them into TRASH is
-lossless.
+offset_s + r * nscol_s + c. The array carries SLACK trailing zero slots so
+fixed-width windows may safely overrun the last panel; out-of-pattern /
+padding rows use start = -1, which FILL_OR_DROP gathers read as zeros and
+scatters drop. Contributions whose target entry is outside the supernode
+pattern are exactly zero by the elimination-tree fill theorem, so dropping
+them is lossless.
 """
 
 from __future__ import annotations
@@ -36,6 +37,11 @@ import scipy.sparse as sp
 from spfx.symbolic.analyze import Symbolic
 from spfx.utils.config import Config, DEFAULT, pad_pow2
 
+# trailing zero slack: every gather/scatter window (<= padded supernode
+# width) must fit beyond the last panel. Windows are bounded by
+# pad_pow2(max_sn_cols) <= 4096 for any sane config.
+SLACK = 4096
+
 
 def _pad2(x: int, lo: int) -> int:
     return pad_pow2(int(x), lo) if x > 0 else 0
@@ -45,9 +51,9 @@ def _pad2(x: int, lo: int) -> int:
 class PanelBucket:
     """A batch of same-padded-shape supernode panels at one level."""
     sns: np.ndarray            # (B,) supernode ids
-    diag_row_off: np.ndarray   # (B, Cp) int32; offset_s + r, -1 invalid
-    col_off: np.ndarray        # (B, Cp) int32; c * nsrow_s, -1 invalid
-    below_row_off: np.ndarray  # (B, Rbp) int32; offset_s + w_s + r, -1 invalid
+    widths: np.ndarray         # (B,) true column counts (0 for pad items)
+    diag_row_start: np.ndarray  # (B, Cp) int32 flat row starts, -1 invalid
+    below_row_start: np.ndarray  # (B, Rbp) int32, -1 invalid
     xcols: np.ndarray          # (B, Cp) int32 global columns (solve), -1
     xrows: np.ndarray          # (B, Rbp) int32 global below rows (solve), -1
     flops: float
@@ -57,7 +63,7 @@ class PanelBucket:
         if self._dev is None:
             import jax.numpy as jnp
             self._dev = tuple(jnp.asarray(a) for a in (
-                self.diag_row_off, self.col_off, self.below_row_off,
+                self.widths, self.diag_row_start, self.below_row_start,
                 self.xcols, self.xrows))
         return self._dev
 
@@ -66,15 +72,18 @@ class PanelBucket:
 class UpdateBucket:
     """A batch of same-padded-shape descendant->ancestor update tasks.
 
-    Each task computes C = Ld[lpos:, :] @ Ld[lpos:lpos+N, :]^T and
-    scatter-subtracts it into the ancestor's panel (ref cpuApply :2030-2102 /
-    mappedSubtract cuda_kernel.cu:62-124, minus the atomics: grouping by level
-    plus XLA's deterministic scatter-add removes the race by construction).
+    Each task computes C = Ld[lpos:, :] @ Ld[lpos:lpos+N, :]^T, expands the
+    N columns into the target's (padded) width with a one-hot matmul, and
+    scatter-subtracts whole rows into the ancestor panel (ref cpuApply
+    :2030-2102 / mappedSubtract cuda_kernel.cu:62-124; the atomics are gone
+    because levels group writers and XLA scatter-add is deterministic).
     """
-    src_row_off: np.ndarray    # (B, Mp) int32 into descendant panel
-    src_col_off: np.ndarray    # (B, Kp)
-    tgt_row_off: np.ndarray    # (B, Mp) into ancestor panel, -1 invalid
-    tgt_col_off: np.ndarray    # (B, Np)
+    kw: np.ndarray             # (B,) true K (descendant width), 0 pad
+    src_row_start: np.ndarray  # (B, Mp) int32, -1 invalid
+    tgt_row_start: np.ndarray  # (B, Mp) int32, -1 invalid/missing
+    tgt_cpos: np.ndarray       # (B, Np) int32 col index in target, -1 pad
+    kp: int                    # static source gather window
+    csp: int                   # static target width window
     flops: float
     _dev: tuple = None
 
@@ -82,8 +91,8 @@ class UpdateBucket:
         if self._dev is None:
             import jax.numpy as jnp
             self._dev = tuple(jnp.asarray(a) for a in (
-                self.src_row_off, self.src_col_off,
-                self.tgt_row_off, self.tgt_col_off))
+                self.kw, self.src_row_start, self.tgt_row_start,
+                self.tgt_cpos))
         return self._dev
 
 
@@ -106,7 +115,17 @@ class FactorPlan:
 
     @property
     def storage(self) -> int:
-        return self.xsize + 2     # + ZERO and TRASH sentinel slots
+        return self.xsize + SLACK
+
+
+def _batch_quantum(total: int, per_item_elems: int, budget: int) -> int:
+    """Power-of-two chunk size for a shape class: floored so tiny classes
+    share a signature, capped so one chunk's working set stays under
+    ``budget`` elements, never more than the padded class population."""
+    per = max(1, per_item_elems)
+    qcap = 1 << (max(1, budget // per).bit_length() - 1)
+    qmin = min(qcap, pad_pow2(max(1, (1 << 18) // per), 1))
+    return min(max(pad_pow2(total, 1), qmin), qcap)
 
 
 def _row_position_lookup(sym: Symbolic):
@@ -142,7 +161,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     offsets = np.zeros(nsuper, dtype=np.int64)
     np.cumsum(R[:-1] * W[:-1], out=offsets[1:])
     xsize = int((R * W).sum())
-    if xsize + 2 >= 2**31:
+    if xsize + SLACK >= 2**31:
         raise ValueError(f"factor too large for int32 indexing: {xsize}")
     first_col = sym.sn_start[:-1]
     rowpos = _row_position_lookup(sym)
@@ -158,10 +177,10 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         sns = order[np.searchsorted(lvl_sorted, lv):
                     np.searchsorted(lvl_sorted, lv, side="right")]
         w, r = W[sns], R[sns]
-        keys = np.stack([np.minimum(w, 10**9), r - w], axis=1)
-        pkeys = np.stack([[_pad2(a, lo), _pad2(b, lo)] for a, b in keys]) \
+        pkeys = np.stack([[_pad2(a, lo), _pad2(b, lo)]
+                          for a, b in zip(w, r - w)]) \
             if len(sns) else np.zeros((0, 2), np.int64)
-        for key in np.unique(pkeys, axis=0) if len(sns) else []:
+        for key in (np.unique(pkeys, axis=0) if len(sns) else []):
             cp, rbp = int(key[0]), int(key[1])
             sel = sns[(pkeys[:, 0] == cp) & (pkeys[:, 1] == rbp)]
             qb = _batch_quantum(len(sel), (cp + rbp) * cp,
@@ -173,8 +192,6 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                 total_flops += pb.flops
 
     # ---------------- update tasks --------------------------------------
-    # below-diagonal pattern entries of every supernode, tagged with their
-    # owner supernode (the ancestor whose columns contain that row)
     m = len(sym.sn_rows)
     row_sn = np.repeat(np.arange(nsuper, dtype=np.int64), R)
     loc = np.arange(m, dtype=np.int64) - sym.sn_ptr[row_sn]
@@ -196,44 +213,44 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         t_pad = np.stack([
             [_pad2(a, lo) for a in t_M],
             [_pad2(a, lo) for a in t_N],
-            [_pad2(a, lo) for a in t_K]], axis=1)
+            [_pad2(a, lo) for a in t_K],
+            [_pad2(a, lo) for a in W[t_s]]], axis=1)
         for lv in range(nlev):
             in_lv = np.flatnonzero(t_level == lv)
             if not len(in_lv):
                 continue
             pads = t_pad[in_lv]
             for key in np.unique(pads, axis=0):
-                mp, np_, kp = int(key[0]), int(key[1]), int(key[2])
+                mp, np_, kp, csp = (int(x) for x in key)
                 sel = in_lv[(pads == key).all(axis=1)]
-                # quantum: bounded by the gather working-set budget, floored
-                # so tiny populations share a signature
-                qb = _batch_quantum(len(sel), mp * (kp + np_),
-                                    config.max_gather_elems)
+                qb = _batch_quantum(
+                    len(sel), mp * kp + mp * np_ + (mp + np_) * csp,
+                    config.max_gather_elems)
                 for c0 in range(0, len(sel), qb):
                     ub = _make_update_bucket(
                         sel[c0:c0 + qb], t_d, t_s, t_lpos, t_M, t_N, t_K,
-                        W, R, offsets, first_col, sym, rowpos, mp, np_, kp,
-                        qb)
+                        W, R, offsets, first_col, sym, rowpos,
+                        mp, np_, kp, csp, qb)
                     levels[lv].updates.append(ub)
                     total_flops += ub.flops
 
     # ---------------- assembly scatter (ref loadA :1998-2028) ------------
-    def entry_positions(M: sp.csc_matrix) -> np.ndarray:
-        arow = M.indices.astype(np.int64)
-        acol = np.repeat(np.arange(n, dtype=np.int64), np.diff(M.indptr))
+    def entry_positions(M_: sp.csc_matrix) -> np.ndarray:
+        arow = M_.indices.astype(np.int64)
+        acol = np.repeat(np.arange(n, dtype=np.int64), np.diff(M_.indptr))
         s_of = sym.sn_of[acol]
         lpos = rowpos(s_of, arow)
         if (lpos < 0).any():
             raise AssertionError("A entry outside factor pattern")
-        return offsets[s_of] + lpos + (acol - first_col[s_of]) * R[s_of]
+        return offsets[s_of] + lpos * W[s_of] + (acol - first_col[s_of])
 
     Ap = sp.csc_matrix(A)[sym.perm][:, sym.perm]
     assembly_idx = entry_positions(sp.tril(Ap).tocsc())
     assembly_idx_u = None
     if lu:
         # strict-upper entry (i,j), i<j, lives in the U^T panel of the
-        # supernode owning column i, at (rowpos(j), i - c1) — which is the
-        # lower-triangle position map applied to Ap^T
+        # supernode owning column i, at (rowpos(j), i - c1) — the lower-
+        # triangle position map applied to Ap^T
         # (ref LU loadA, LU/Source/SparseFrame.c:2478-2536).
         assembly_idx_u = entry_positions(sp.tril(Ap.T, -1).tocsc())
 
@@ -243,28 +260,12 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                       assembly_idx_u=assembly_idx_u)
 
 
-def _pad_batch(arrs, B, Bq):
-    """Pad bucket arrays along batch dim to exactly ``Bq`` rows with fully
-    invalid (-1) items. Every chunk of a shape class uses the same quantum
-    Bq, so the class compiles exactly one jit signature regardless of how
-    many tasks it holds."""
+def _pad_batch(arrs, B, Bq, fills):
     if Bq == B:
         return arrs
     return [np.concatenate(
-        [a, np.full((Bq - B,) + a.shape[1:], -1, dtype=a.dtype)])
-        for a in arrs]
-
-
-def _batch_quantum(total: int, per_item_elems: int, budget: int) -> int:
-    """Power-of-two chunk size for a shape class: large enough to batch well,
-    small enough to keep one chunk's gather working set under ``budget``
-    elements, never more than the (padded) class population."""
-    per = max(1, per_item_elems)
-    qcap = 1 << (max(1, budget // per).bit_length() - 1)
-    # floor: batch at least ~2^18 gathered elements per call so tiny classes
-    # round up to a shared quantum instead of minting one signature per B
-    qmin = min(qcap, pad_pow2(max(1, (1 << 18) // per), 1))
-    return min(max(pad_pow2(total, 1), qmin), qcap)
+        [a, np.full((Bq - B,) + a.shape[1:], f, dtype=a.dtype)])
+        for a, f in zip(arrs, fills)]
 
 
 def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp, qb=None):
@@ -273,53 +274,54 @@ def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp, qb=None):
     w, r, off = W[sel], R[sel], offsets[sel]
     ci = np.arange(cp, dtype=np.int64)[None, :]
     vc = ci < w[:, None]
-    diag_row_off = np.where(vc, off[:, None] + ci, -1)
-    col_off = np.where(vc, ci * r[:, None], -1)
+    diag_row_start = np.where(vc, off[:, None] + ci * w[:, None], -1)
     ri = np.arange(rbp, dtype=np.int64)[None, :]
     vr = ri < (r - w)[:, None]
-    below_row_off = np.where(vr, off[:, None] + w[:, None] + ri, -1)
+    below_row_start = np.where(vr, off[:, None] + (w[:, None] + ri)
+                               * w[:, None], -1)
     xcols = np.where(vc, first_col[sel][:, None] + ci, -1)
-    pat_idx = np.minimum(sym.sn_ptr[sel][:, None] + w[:, None] + ri,
-                         len(sym.sn_rows) - 1) if len(sym.sn_rows) else \
-        np.zeros((B, rbp), np.int64)
-    xrows = np.where(vr, sym.sn_rows[pat_idx], -1) if rbp else \
-        np.zeros((B, 0), np.int64)
+    if rbp:
+        pat_idx = np.minimum(sym.sn_ptr[sel][:, None] + w[:, None] + ri,
+                             len(sym.sn_rows) - 1)
+        xrows = np.where(vr, sym.sn_rows[pat_idx], -1)
+    else:
+        xrows = np.zeros((B, 0), np.int64)
     flops = float((w.astype(float)**3 / 3.0
                    + (r - w).astype(float) * w.astype(float)**2).sum())
     i32 = np.int32
-    arrs = _pad_batch([diag_row_off, col_off, below_row_off, xcols, xrows],
-                      B, qb)
+    arrs = _pad_batch([w, diag_row_start, below_row_start, xcols, xrows],
+                      B, qb, [0, -1, -1, -1, -1])
     return PanelBucket(sel, *(a.astype(i32) for a in arrs), flops)
 
 
 def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
-                        W, R, offsets, first_col, sym, rowpos, mp, np_, kp,
-                        qb=None):
+                        W, R, offsets, first_col, sym, rowpos,
+                        mp, np_, kp, csp, qb=None):
     B = len(sel)
     qb = pad_pow2(B, 1) if qb is None else qb
     d, s = t_d[sel], t_s[sel]
     lpos, M, N, K = t_lpos[sel], t_M[sel], t_N[sel], t_K[sel]
     mi = np.arange(mp, dtype=np.int64)[None, :]
     vm = mi < M[:, None]
-    src_row_off = np.where(vm, offsets[d][:, None] + lpos[:, None] + mi, -1)
-    ki = np.arange(kp, dtype=np.int64)[None, :]
-    vk = ki < K[:, None]
-    src_col_off = np.where(vk, ki * R[d][:, None], -1)
+    src_row_start = np.where(
+        vm, offsets[d][:, None] + (lpos[:, None] + mi) * K[:, None], -1)
     # global rows covered by each task's M window
     pat = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + mi,
                      len(sym.sn_rows) - 1)
     grow = sym.sn_rows[pat]
     tpos = rowpos(np.broadcast_to(s[:, None], grow.shape).ravel(),
                   grow.ravel()).reshape(grow.shape)
-    tgt_row_off = np.where(vm & (tpos >= 0), offsets[s][:, None] + tpos, -1)
+    tgt_row_start = np.where(
+        vm & (tpos >= 0),
+        offsets[s][:, None] + tpos * W[s][:, None], -1)
     ni = np.arange(np_, dtype=np.int64)[None, :]
     vn = ni < N[:, None]
     patn = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + ni,
                       len(sym.sn_rows) - 1)
     q = sym.sn_rows[patn]
-    tgt_col_off = np.where(vn, (q - first_col[s][:, None]) * R[s][:, None], -1)
+    tgt_cpos = np.where(vn, q - first_col[s][:, None], -1)
     flops = float(2.0 * (M.astype(float) * N * K).sum())
     i32 = np.int32
-    arrs = _pad_batch([src_row_off, src_col_off, tgt_row_off, tgt_col_off],
-                      B, qb)
-    return UpdateBucket(*(a.astype(i32) for a in arrs), flops)
+    arrs = _pad_batch([K, src_row_start, tgt_row_start, tgt_cpos],
+                      B, qb, [0, -1, -1, -1])
+    return UpdateBucket(*(a.astype(i32) for a in arrs), kp, csp, flops)
