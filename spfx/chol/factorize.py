@@ -35,12 +35,13 @@ class CholeskyFactor:
     """
 
     def __init__(self, A: sp.spmatrix, sym: Symbolic, plan: FactorPlan,
-                 L: jax.Array, config: Config):
+                 L: jax.Array, config: Config, solver=None):
         self.A = sp.csc_matrix(A)
         self.sym = sym
         self.plan = plan
         self.L = L
         self.config = config
+        self._solver = solver          # shared FusedSolver from the context
 
     # -- solves -----------------------------------------------------------
 
@@ -54,12 +55,21 @@ class CholeskyFactor:
         xp[:n] = b2[self.sym.perm]
         x = jnp.asarray(xp)
         with jax.default_matmul_precision(self.config.matmul_precision):
-            for lp in self.plan.levels:
-                for pb in lp.panels:
-                    x = blocks.solve_fwd_level(self.L, x, *pb.dev())
-            for lp in reversed(self.plan.levels):
-                for pb in lp.panels:
-                    x = blocks.solve_bwd_level(self.L, x, *pb.dev())
+            if self.config.fused:
+                if self._solver is None:
+                    from spfx.kernels.fused import FusedSolver
+                    self._solver = FusedSolver(
+                        self.plan, lu=False,
+                        calls_per_chunk=self.config.calls_per_chunk)
+                x = self._solver.forward(self.L, x)
+                x = self._solver.backward(self.L, x)
+            else:
+                for lp in self.plan.levels:
+                    for pb in lp.panels:
+                        x = blocks.solve_fwd_level(self.L, x, *pb.dev())
+                for lp in reversed(self.plan.levels):
+                    for pb in lp.panels:
+                        x = blocks.solve_bwd_level(self.L, x, *pb.dev())
         xh = np.asarray(x[:n])
         out = np.empty_like(xh)
         out[self.sym.perm] = xh
@@ -130,6 +140,8 @@ class Cholesky:
         t0 = time.perf_counter()
         self.plan = build_plan(self.sym, A, config)
         self.plan_time = time.perf_counter() - t0
+        self._runner = None
+        self._solver = None
 
     def factorize(self, A: sp.spmatrix) -> CholeskyFactor:
         A = sp.csc_matrix(A)
@@ -141,14 +153,26 @@ class Cholesky:
         L0[self.plan.assembly_idx] = low.data
         L = jnp.asarray(L0)
         with jax.default_matmul_precision(self.config.matmul_precision):
-            for lp in self.plan.levels:
-                for pb in lp.panels:
-                    d = pb.dev()
-                    L = blocks.factor_panels_chol(L, d[0], d[1], d[2])
-                for ub in lp.updates:
-                    L = blocks.apply_updates_sym(L, *ub.dev(),
-                                                 kp=ub.kp, csp=ub.csp)
-        return CholeskyFactor(A, self.sym, self.plan, L, self.config)
+            if self.config.fused:
+                if self._runner is None:
+                    from spfx.kernels.fused import FusedRunner, FusedSolver
+                    self._runner = FusedRunner(
+                        self.plan, lu=False,
+                        calls_per_chunk=self.config.calls_per_chunk)
+                    self._solver = FusedSolver(
+                        self.plan, lu=False,
+                        calls_per_chunk=self.config.calls_per_chunk)
+                L = self._runner.run(L)
+            else:
+                for lp in self.plan.levels:
+                    for pb in lp.panels:
+                        d = pb.dev()
+                        L = blocks.factor_panels_chol(L, d[0], d[1], d[2])
+                    for ub in lp.updates:
+                        L = blocks.apply_updates_sym(L, *ub.dev(),
+                                                     kp=ub.kp, csp=ub.csp)
+        return CholeskyFactor(A, self.sym, self.plan, L, self.config,
+                              solver=self._solver)
 
 
 def cholesky(A: sp.spmatrix, config: Config = DEFAULT) -> CholeskyFactor:

@@ -35,13 +35,14 @@ class LUFactor:
     """Factorized P A P^T = L U (unit-diagonal L, no pivoting)."""
 
     def __init__(self, A: sp.spmatrix, sym: Symbolic, plan: FactorPlan,
-                 Lx: jax.Array, Ux: jax.Array, config: Config):
+                 Lx: jax.Array, Ux: jax.Array, config: Config, solver=None):
         self.A = sp.csc_matrix(A)
         self.sym = sym
         self.plan = plan
         self.Lx = Lx
         self.Ux = Ux
         self.config = config
+        self._solver = solver
 
     def _solve_device(self, b: np.ndarray) -> np.ndarray:
         n = self.sym.n
@@ -52,12 +53,21 @@ class LUFactor:
         xp[:n] = b2[self.sym.perm]
         x = jnp.asarray(xp)
         with jax.default_matmul_precision(self.config.matmul_precision):
-            for lp in self.plan.levels:
-                for pb in lp.panels:
-                    x = blocks.solve_fwd_level_lu(self.Lx, x, *pb.dev())
-            for lp in reversed(self.plan.levels):
-                for pb in lp.panels:
-                    x = blocks.solve_bwd_level_lu(self.Ux, x, *pb.dev())
+            if self.config.fused:
+                if self._solver is None:
+                    from spfx.kernels.fused import FusedSolver
+                    self._solver = FusedSolver(
+                        self.plan, lu=True,
+                        calls_per_chunk=self.config.calls_per_chunk)
+                x = self._solver.forward(self.Lx, x)
+                x = self._solver.backward(self.Ux, x)
+            else:
+                for lp in self.plan.levels:
+                    for pb in lp.panels:
+                        x = blocks.solve_fwd_level_lu(self.Lx, x, *pb.dev())
+                for lp in reversed(self.plan.levels):
+                    for pb in lp.panels:
+                        x = blocks.solve_bwd_level_lu(self.Ux, x, *pb.dev())
         xh = np.asarray(x[:n])
         out = np.empty_like(xh)
         out[self.sym.perm] = xh
@@ -124,6 +134,8 @@ class LU:
         t0 = time.perf_counter()
         self.plan = build_plan(self.sym, A, config, lu=True)
         self.plan_time = time.perf_counter() - t0
+        self._runner = None
+        self._solver = None
 
     def factorize(self, A: sp.spmatrix) -> LUFactor:
         A = sp.csc_matrix(A)
@@ -137,14 +149,27 @@ class LU:
         U0[self.plan.assembly_idx_u] = upt.data
         Lx, Ux = jnp.asarray(L0), jnp.asarray(U0)
         with jax.default_matmul_precision(self.config.matmul_precision):
-            for lp in self.plan.levels:
-                for pb in lp.panels:
-                    d = pb.dev()
-                    Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0], d[1], d[2])
-                for ub in lp.updates:
-                    Lx, Ux = blocks.apply_updates_lu(
-                        Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
-        return LUFactor(A, self.sym, self.plan, Lx, Ux, self.config)
+            if self.config.fused:
+                if self._runner is None:
+                    from spfx.kernels.fused import FusedRunner, FusedSolver
+                    self._runner = FusedRunner(
+                        self.plan, lu=True,
+                        calls_per_chunk=self.config.calls_per_chunk)
+                    self._solver = FusedSolver(
+                        self.plan, lu=True,
+                        calls_per_chunk=self.config.calls_per_chunk)
+                Lx, Ux = self._runner.run(Lx, Ux)
+            else:
+                for lp in self.plan.levels:
+                    for pb in lp.panels:
+                        d = pb.dev()
+                        Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0], d[1],
+                                                         d[2])
+                    for ub in lp.updates:
+                        Lx, Ux = blocks.apply_updates_lu(
+                            Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
+        return LUFactor(A, self.sym, self.plan, Lx, Ux, self.config,
+                        solver=self._solver)
 
 
 def lu(A: sp.spmatrix, config: Config = DEFAULT) -> LUFactor:

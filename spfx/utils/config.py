@@ -53,6 +53,11 @@ class Config:
     refine_iters: int = 3           # f64 iterative-refinement sweeps on solve
     refine_tol: float = 1e-12       # stop refinement below this scaled resid
 
+    # ---- execution ------------------------------------------------------
+    fused: bool = True              # chunk consecutive levels into single jit
+    #                                 programs (amortizes dispatch latency)
+    calls_per_chunk: int = 24       # bucket calls per fused chunk
+
     # ---- misc -----------------------------------------------------------
     validate: bool = False          # run residual validation after factorize
     profile: bool = False           # per-phase wall timers (ref info.h:146-149)
