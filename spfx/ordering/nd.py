@@ -14,48 +14,27 @@ from __future__ import annotations
 
 import numpy as np
 import scipy.sparse as sp
-from scipy.sparse.csgraph import breadth_first_order, connected_components
+from scipy.sparse.csgraph import connected_components
 
 from .amd import amd_dense_tail
 
 
-def _pseudo_peripheral(adj: sp.csr_matrix, start: int) -> tuple[int, np.ndarray]:
-    """Return a far-from-center vertex and its BFS order (few sweeps)."""
+def _pseudo_peripheral(adj: sp.csr_matrix, start: int) -> int:
+    """Return an (approximately) peripheral vertex by repeated BFS sweeps."""
+    n = adj.shape[0]
     node = start
     last_ecc = -1
-    order = None
     for _ in range(4):
-        order, _ = breadth_first_order(adj, node, directed=False,
-                                       return_predecessors=True)
-        # eccentricity ~ position of last discovered vertex
-        far = order[-1]
-        # compute levels to measure eccentricity
-        ecc = len(order)
-        if ecc == last_ecc:
+        level = _bfs_levels_vec(adj, node, n)
+        ecc = int(level.max())
+        if ecc <= last_ecc:
             break
         last_ecc = ecc
-        node = far
-    return node, order
-
-
-def _bfs_levels(adj: sp.csr_matrix, start: int, n: int) -> np.ndarray:
-    """BFS level of each vertex (-1 if unreachable)."""
-    level = np.full(n, -1, dtype=np.int64)
-    level[start] = 0
-    frontier = np.array([start])
-    indptr, indices = adj.indptr, adj.indices
-    d = 0
-    while len(frontier):
-        d += 1
-        nxt = []
-        for u in frontier:
-            nbrs = indices[indptr[u]:indptr[u + 1]]
-            for v in nbrs:
-                if level[v] < 0:
-                    level[v] = d
-                    nxt.append(v)
-        frontier = np.array(nxt, dtype=np.int64)
-    return level
+        # farthest vertex, ties broken by lowest degree
+        far = np.flatnonzero(level == ecc)
+        degs = np.diff(adj.indptr)[far]
+        node = int(far[np.argmin(degs)])
+    return node
 
 
 def _bfs_levels_vec(adj: sp.csr_matrix, start: int, n: int) -> np.ndarray:
@@ -119,8 +98,7 @@ def nested_dissection(A: sp.spmatrix, leaf_size: int = 96) -> np.ndarray:
             continue
         # find separator via BFS levels from a pseudo-peripheral vertex
         degs = np.diff(sub.indptr)
-        start = int(np.argmin(degs))
-        start, _ = _pseudo_peripheral(sub, start)
+        start = _pseudo_peripheral(sub, int(np.argmin(degs)))
         level = _bfs_levels_vec(sub, start, m)
         maxlev = int(level.max())
         if maxlev < 2:

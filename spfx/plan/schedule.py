@@ -118,13 +118,15 @@ class FactorPlan:
         return self.xsize + SLACK
 
 
-def _batch_quantum(total: int, per_item_elems: int, budget: int) -> int:
+def _batch_quantum(total: int, per_item_elems: int, budget: int,
+                   floor: int = 1 << 18) -> int:
     """Power-of-two chunk size for a shape class: floored so tiny classes
-    share a signature, capped so one chunk's working set stays under
-    ``budget`` elements, never more than the padded class population."""
+    share a signature (and each call carries enough work to amortize launch
+    overhead), capped so one chunk's working set stays under ``budget``
+    elements, never more than the padded class population."""
     per = max(1, per_item_elems)
     qcap = 1 << (max(1, budget // per).bit_length() - 1)
-    qmin = min(qcap, pad_pow2(max(1, (1 << 18) // per), 1))
+    qmin = min(qcap, pad_pow2(max(1, floor // per), 1))
     return min(max(pad_pow2(total, 1), qmin), qcap)
 
 
@@ -184,7 +186,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             cp, rbp = int(key[0]), int(key[1])
             sel = sns[(pkeys[:, 0] == cp) & (pkeys[:, 1] == rbp)]
             qb = _batch_quantum(len(sel), (cp + rbp) * cp,
-                                config.max_gather_elems)
+                                config.max_gather_elems,
+                                config.batch_floor_elems)
             for c0 in range(0, len(sel), qb):
                 pb = _make_panel_bucket(sel[c0:c0 + qb], W, R, offsets,
                                         first_col, sym, cp, rbp, qb)
@@ -225,7 +228,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                 sel = in_lv[(pads == key).all(axis=1)]
                 qb = _batch_quantum(
                     len(sel), mp * kp + mp * np_ + (mp + np_) * csp,
-                    config.max_gather_elems)
+                    config.max_gather_elems, config.batch_floor_elems)
                 for c0 in range(0, len(sel), qb):
                     ub = _make_update_bucket(
                         sel[c0:c0 + qb], t_d, t_s, t_lpos, t_M, t_N, t_K,

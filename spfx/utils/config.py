@@ -35,14 +35,20 @@ class Config:
     # Relaxed amalgamation thresholds: merge a child supernode into its parent
     # if merged width <= relax_width[i] and the fraction of explicit zeros
     # introduced stays below relax_fill[i] (ref should_relax parameter.h:28-46).
-    relax_width: Tuple[int, ...] = (16, 48, 128, 256)
-    relax_fill: Tuple[float, ...] = (1.0, 0.5, 0.2, 0.05)
+    # TPU-tuned: considerably more aggressive than CPU-era defaults —
+    # explicit zeros ride the MXU for nearly free, while narrow supernodes
+    # cost whole extra kernel launches and tiny matmuls.
+    relax_width: Tuple[int, ...] = (32, 64, 128, 256)
+    relax_fill: Tuple[float, ...] = (1.0, 0.8, 0.5, 0.3)
 
     # ---- bucketing / padding (ref node-score triage parameter.h:58-103) --
     pad_min: int = 8                # minimum padded dim (f32 sublane tile)
     pad_batch_min: int = 1          # minimum padded batch
     max_gather_elems: int = 1 << 25 # chunk batched updates above this many
                                     # gathered f32 elements (HBM working set)
+    batch_floor_elems: int = 1 << 20  # round small shape classes up to at
+    #                                   least this much work per kernel call
+    #                                   (amortizes launch+dispatch overhead)
 
     # ---- numeric --------------------------------------------------------
     dtype: str = "float32"          # device compute dtype
@@ -54,8 +60,11 @@ class Config:
     refine_tol: float = 1e-12       # stop refinement below this scaled resid
 
     # ---- execution ------------------------------------------------------
-    fused: bool = True              # chunk consecutive levels into single jit
-    #                                 programs (amortizes dispatch latency)
+    # Fused multi-level chunks measured ~3-5x SLOWER on TPU than individual
+    # donated calls (XLA materializes per-step copies of the factor array
+    # inside the fused graph, while donation makes separate calls in-place),
+    # so the default is the unfused async-dispatch path.
+    fused: bool = False
     calls_per_chunk: int = 24       # bucket calls per fused chunk
 
     # ---- misc -----------------------------------------------------------
