@@ -165,12 +165,14 @@ class Cholesky:
                 L = self._runner.run(L)
             else:
                 for lp in self.plan.levels:
-                    for pb in lp.panels:
-                        d = pb.dev()
-                        L = blocks.factor_panels_chol(L, d[0], d[1], d[2])
+                    # left-looking: drain this level's pending updates, then
+                    # factor its panels
                     for ub in lp.updates:
                         L = blocks.apply_updates_sym(L, *ub.dev(),
                                                      kp=ub.kp, csp=ub.csp)
+                    for pb in lp.panels:
+                        d = pb.dev()
+                        L = blocks.factor_panels_chol(L, d[0], d[1], d[2])
         return CholeskyFactor(A, self.sym, self.plan, L, self.config,
                               solver=self._solver)
 

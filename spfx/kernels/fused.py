@@ -87,13 +87,13 @@ class FusedRunner:
         for levels in chunk_levels(plan.levels, calls_per_chunk):
             spec, args = [], []
             for lp in levels:
+                for ub in lp.updates:
+                    spec.append(("U", ub.kp, ub.csp))
+                    args.extend(ub.dev())
                 for pb in lp.panels:
                     d = pb.dev()
                     spec.append(("P",))
                     args.extend(d[:3])
-                for ub in lp.updates:
-                    spec.append(("U", ub.kp, ub.csp))
-                    args.extend(ub.dev())
             spec = tuple(spec)
             fn = _lu_chunk_fn(spec) if lu else _chol_chunk_fn(spec)
             self.chunks.append((fn, args))

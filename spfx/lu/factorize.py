@@ -161,13 +161,13 @@ class LU:
                 Lx, Ux = self._runner.run(Lx, Ux)
             else:
                 for lp in self.plan.levels:
+                    for ub in lp.updates:
+                        Lx, Ux = blocks.apply_updates_lu(
+                            Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
                     for pb in lp.panels:
                         d = pb.dev()
                         Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0], d[1],
                                                          d[2])
-                    for ub in lp.updates:
-                        Lx, Ux = blocks.apply_updates_lu(
-                            Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
         return LUFactor(A, self.sym, self.plan, Lx, Ux, self.config,
                         solver=self._solver)
 

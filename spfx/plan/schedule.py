@@ -47,6 +47,18 @@ def _pad2(x: int, lo: int) -> int:
     return pad_pow2(int(x), lo) if x > 0 else 0
 
 
+def _pad4(x: int, lo: int) -> int:
+    """Round up to lo * 4^k — coarser shape classes mean fewer distinct
+    kernels (call count is floor-bounded by #(level x class) pairs); the
+    extra padding rides the MXU."""
+    if x <= 0:
+        return 0
+    p = lo
+    while p < x:
+        p *= 4
+    return p
+
+
 @dataclasses.dataclass
 class PanelBucket:
     """A batch of same-padded-shape supernode panels at one level."""
@@ -212,12 +224,18 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         t_N = np.diff(np.append(starts, len(d_ent)))
         t_M = R[t_d] - t_lpos
         t_K = W[t_d]
-        t_level = sym.sn_level[t_d]
+        # schedule each update at its TARGET's level (left-looking apply,
+        # ref cpuApply drains the pending-update list right before the panel
+        # factors, :2123-2132): sources from many levels consolidate into
+        # the same shape class, so batches are fatter and calls fewer. The
+        # numeric engines run a level's updates BEFORE its panel factors.
+        t_level = sym.sn_level[t_s]
+        padf = _pad4 if config.class_granularity == "pow4" else _pad2
         t_pad = np.stack([
-            [_pad2(a, lo) for a in t_M],
-            [_pad2(a, lo) for a in t_N],
-            [_pad2(a, lo) for a in t_K],
-            [_pad2(a, lo) for a in W[t_s]]], axis=1)
+            [padf(a, lo) for a in t_M],
+            [padf(a, lo) for a in t_N],
+            [padf(a, lo) for a in t_K],
+            [padf(a, lo) for a in W[t_s]]], axis=1)
         for lv in range(nlev):
             in_lv = np.flatnonzero(t_level == lv)
             if not len(in_lv):

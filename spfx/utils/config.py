@@ -49,6 +49,9 @@ class Config:
     batch_floor_elems: int = 1 << 20  # round small shape classes up to at
     #                                   least this much work per kernel call
     #                                   (amortizes launch+dispatch overhead)
+    class_granularity: str = "pow4"   # update shape-class padding: "pow4"
+    #                                   (fewer classes -> fewer calls) or
+    #                                   "pow2" (less padding waste)
 
     # ---- numeric --------------------------------------------------------
     dtype: str = "float32"          # device compute dtype
