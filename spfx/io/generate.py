@@ -69,6 +69,19 @@ def random_unsym(n: int, density: float = 0.02, seed: int = 0,
     return sp.csc_matrix(A)
 
 
+def random_hermitian(n: int, density: float = 0.05,
+                     seed: int = 0) -> sp.csc_matrix:
+    """Random sparse Hermitian positive-definite matrix (complex), for the
+    zpotrf/zherk line of the reference."""
+    rng = np.random.default_rng(seed)
+    B = sp.random(n, n, density=density, random_state=rng, format="csc")
+    C = sp.csc_matrix((B.data * np.exp(2j * np.pi * rng.random(B.nnz)),
+                       B.indices.copy(), B.indptr.copy()), shape=B.shape)
+    H = C + C.conj().T
+    rowsum = np.asarray(np.abs(H).sum(axis=1)).ravel()
+    return sp.csc_matrix(H + sp.diags(rowsum + 1.0))
+
+
 def stretched_grid(nx: int, ny: int, aniso: float = 100.0) -> sp.csc_matrix:
     """Anisotropic 2D operator — produces long thin supernodes, a harder
     shape mix for the bucketed batched kernels."""

@@ -75,9 +75,12 @@ def factor_panels_chol(L, widths, diag_row_start, below_row_start):
     D = D + jnp.eye(cp, dtype=L.dtype)[None] * (1.0 - cm)[:, None, :]
     L11 = lax.linalg.cholesky(D, symmetrize_input=False)
     Braw = _win_gather(L, below_row_start, cp)
+    # complex: A = L L^H, so the panel solve and the descendant products use
+    # the conjugate transpose (ref zpotrf/zherk/ztrsm line)
+    cplx = jnp.iscomplexobj(L)
     L21 = lax.linalg.triangular_solve(L11, Braw * cm[:, None, :],
                                       left_side=False, lower=True,
-                                      transpose_a=True)
+                                      transpose_a=True, conjugate_a=cplx)
     on = cm[:, None, :] > 0
     dD = jnp.where(on, L11, Draw) - Draw
     dB = jnp.where(on, L21, Braw) - Braw
@@ -98,7 +101,8 @@ def apply_updates_sym(L, kw, src_row_start, tgt_row_start, tgt_cpos,
     G = _win_gather(L, src_row_start, kp)                # (B, Mp, kp)
     G = G * _col_mask(kw, kp, L.dtype)[:, None, :]
     np_ = tgt_cpos.shape[1]
-    C = jnp.einsum("bmk,bnk->bmn", G, G[:, :np_, :],
+    Gt = jnp.conj(G[:, :np_, :]) if jnp.iscomplexobj(L) else G[:, :np_, :]
+    C = jnp.einsum("bmk,bnk->bmn", G, Gt,
                    preferred_element_type=L.dtype)
     oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :])
     E = jnp.einsum("bmn,bnc->bmc", C, oh.astype(L.dtype),
@@ -264,10 +268,12 @@ def solve_bwd_level(L, x, widths, diag_row_start, below_row_start, xcols,
     """x[cols] = L11^{-T} (x[cols] - L21^T @ x[below])."""
     L11, L21 = _panel_parts(L, widths, diag_row_start, below_row_start)
     yb = x[_x_idx(x, xrows)]
-    t = x[_x_idx(x, xcols)] - jnp.einsum("brc,brh->bch", L21, yb,
+    cplx = jnp.iscomplexobj(L)
+    L21c = jnp.conj(L21) if cplx else L21
+    t = x[_x_idx(x, xcols)] - jnp.einsum("brc,brh->bch", L21c, yb,
                                          preferred_element_type=x.dtype)
     z = lax.linalg.triangular_solve(L11, t, left_side=True, lower=True,
-                                    transpose_a=True)
+                                    transpose_a=True, conjugate_a=cplx)
     return x.at[_x_idx(x, xcols)].set(z)
 
 

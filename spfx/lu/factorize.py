@@ -75,8 +75,12 @@ class LUFactor:
 
     def solve(self, b: np.ndarray, refine: int | None = None) -> np.ndarray:
         refine = self.config.refine_iters if refine is None else refine
-        b = np.asarray(b, dtype=np.float64)
-        x = self._solve_device(b).astype(np.float64)
+        b = np.asarray(b)
+        wide = np.complex128 if (np.iscomplexobj(b)
+                                 or "complex" in self.config.dtype) \
+            else np.float64
+        b = b.astype(wide)
+        x = self._solve_device(b).astype(wide)
         if refine <= 0:
             return x
         bn = np.abs(b).max() + 1e-300
@@ -84,7 +88,7 @@ class LUFactor:
             r = b - self.A @ x
             if np.abs(r).max() / bn < self.config.refine_tol:
                 break
-            x = x + self._solve_device(r).astype(np.float64)
+            x = x + self._solve_device(r).astype(wide)
         return x
 
     def LU_sparse(self) -> tuple[sp.csc_matrix, sp.csc_matrix]:
