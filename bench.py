@@ -11,7 +11,7 @@ fraction-of-roofline number BASELINE.md tracks. The reference publishes no
 numbers of its own (SURVEY.md §6), so roofline fraction is the baseline axis.
 
 Knobs (env):
-  SPFX_BENCH_GRID   3D grid edge (default 40 -> n=64000)
+  SPFX_BENCH_GRID   3D grid edge (default 48 -> n=110592)
   SPFX_BENCH_KIND   chol | lu (default chol)
   SPFX_BENCH_REPS   timed repetitions (default 3)
 """
@@ -56,7 +56,7 @@ def measure_roofline(dtype, precision) -> float:
 
 
 def main():
-    grid = int(os.environ.get("SPFX_BENCH_GRID", "40"))
+    grid = int(os.environ.get("SPFX_BENCH_GRID", "48"))
     kind = os.environ.get("SPFX_BENCH_KIND", "chol")
     reps = int(os.environ.get("SPFX_BENCH_REPS", "3"))
 

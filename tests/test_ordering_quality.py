@@ -1,0 +1,71 @@
+"""Ordering quality and native-AMD cross-checks."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from spfx.io import generate
+from spfx.ordering import order
+from spfx.symbolic import _native
+from spfx.symbolic.etree import etree, col_counts
+
+
+def fill_of(A, perm):
+    Ap = sp.csc_matrix(A)[perm][:, perm]
+    parent = etree(Ap)
+    return int(col_counts(Ap, parent).sum())
+
+
+@pytest.mark.parametrize("method", ["identity", "rcm", "nd", "amd"])
+def test_orderings_are_permutations(method):
+    A = generate.laplacian_2d(15)
+    p = order(A, method)
+    assert np.array_equal(np.sort(p), np.arange(A.shape[0]))
+
+
+def test_amd_beats_natural_on_grid():
+    A = generate.laplacian_2d(20)
+    f_nat = fill_of(A, np.arange(A.shape[0]))
+    f_amd = fill_of(A, order(A, "amd"))
+    assert f_amd < f_nat
+
+
+def test_nd_beats_natural_on_3d():
+    A = generate.laplacian_3d(10)
+    f_nat = fill_of(A, np.arange(A.shape[0]))
+    f_nd = fill_of(A, order(A, "nd"))
+    assert f_nd < 0.7 * f_nat
+
+
+@pytest.mark.skipif(not _native.available(), reason="native planner not built")
+def test_native_amd_quality_reasonable():
+    """Native quotient-graph MD should be within 2x of ND fill on a grid
+    (sanity bound — catches catastrophic degree-update bugs)."""
+    A = generate.laplacian_2d(24)
+    n = A.shape[0]
+    S = ((A != 0) + (A != 0).T).tocsc()
+    p = _native.amd(n, S.indptr, S.indices)
+    assert p is not None
+    assert np.array_equal(np.sort(p), np.arange(n))
+    f_amd = fill_of(A, p)
+    f_nd = fill_of(A, order(A, "nd"))
+    f_nat = fill_of(A, np.arange(n))
+    assert f_amd < f_nat
+    assert f_amd < 2.5 * f_nd
+
+
+@pytest.mark.skipif(not _native.available(), reason="native planner not built")
+def test_native_matches_python_etree_colcounts():
+    A = generate.random_spd(120, density=0.05, seed=30)
+    pat = sp.csc_matrix(((A != 0) + (A != 0).T).astype(np.int8))
+    import os
+    parent_native = etree(pat)
+    counts_native = col_counts(pat, parent_native)
+    os.environ["SPFX_NO_NATIVE"] = "1"
+    try:
+        parent_py = etree(pat)
+        counts_py = col_counts(pat, parent_py)
+    finally:
+        del os.environ["SPFX_NO_NATIVE"]
+    assert np.array_equal(parent_native, parent_py)
+    assert np.array_equal(counts_native, counts_py)
