@@ -245,25 +245,21 @@ class ALSModel:
 
     def evaluate(self, test: Interactions, k_recall: int = 20,
                  k_ndcg: int = 10) -> dict:
-        """recall@20 and NDCG@10 against a held-out interaction set."""
+        """recall@20 and NDCG@10 against a held-out set (vectorised)."""
         topk = self.topk(k=max(k_recall, k_ndcg))
-        order = np.argsort(test.user_ids, kind="stable")
-        u, i = test.user_ids[order], test.item_ids[order]
-        starts = np.searchsorted(u, np.arange(test.num_users))
-        ends = np.searchsorted(u, np.arange(test.num_users), side="right")
-        recs, ndcgs = [], []
+        ni = int(self.data.num_items)
+        test_keys = np.sort(test.user_ids.astype(np.int64) * ni
+                            + test.item_ids)
+        nrel = np.bincount(test.user_ids, minlength=test.num_users)
+        users = np.flatnonzero(nrel > 0)
+        keys = users[:, None].astype(np.int64) * ni + topk[users]
+        hit = np.isin(keys, test_keys)
+        recall = (hit[:, :k_recall].sum(axis=1)
+                  / np.minimum(nrel[users], k_recall))
         discount = 1.0 / np.log2(np.arange(2, k_ndcg + 2))
-        for uu in range(test.num_users):
-            s, e = starts[uu], ends[uu]
-            if e == s:
-                continue
-            rel = set(i[s:e].tolist())
-            hits = [int(it in rel) for it in topk[uu][:k_recall]]
-            recs.append(sum(hits) / min(len(rel), k_recall))
-            h10 = np.array([int(it in rel) for it in topk[uu][:k_ndcg]],
-                           dtype=np.float64)
-            idcg = discount[:min(len(rel), k_ndcg)].sum()
-            ndcgs.append(float((h10 * discount).sum() / idcg))
-        return {"recall@%d" % k_recall: float(np.mean(recs)),
-                "ndcg@%d" % k_ndcg: float(np.mean(ndcgs)),
-                "users_evaluated": len(recs)}
+        dcg = (hit[:, :k_ndcg] * discount[None, :]).sum(axis=1)
+        cum = np.concatenate([[0.0], np.cumsum(discount)])
+        idcg = cum[np.minimum(nrel[users], k_ndcg)]
+        return {"recall@%d" % k_recall: float(recall.mean()),
+                "ndcg@%d" % k_ndcg: float((dcg / idcg).mean()),
+                "users_evaluated": int(len(users))}

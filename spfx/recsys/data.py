@@ -97,23 +97,34 @@ def synthetic(num_users: int = 2000, num_items: int = 500,
               avg_degree: int = 40, rank: int = 8,
               seed: int = 0) -> Interactions:
     """Synthetic implicit-feedback data with planted low-rank structure and a
-    power-law item popularity, so ALS has real signal to recover."""
+    power-law item popularity, so ALS has real signal to recover.
+
+    Vectorised (chunked Gumbel top-k = weighted sampling without
+    replacement), so ML-20M-scale generation takes seconds, not minutes.
+    """
     rng = np.random.default_rng(seed)
-    Ut = rng.standard_normal((num_users, rank)) / np.sqrt(rank)
-    Vt = rng.standard_normal((num_items, rank)) / np.sqrt(rank)
-    pop = (1.0 / np.arange(1, num_items + 1) ** 0.4)
-    pop /= pop.sum()
-    deg = np.maximum(2, rng.poisson(avg_degree, size=num_users))
+    Ut = (rng.standard_normal((num_users, rank)) / np.sqrt(rank)) \
+        .astype(np.float32)
+    Vt = (rng.standard_normal((num_items, rank)) / np.sqrt(rank)) \
+        .astype(np.float32)
+    logpop = -0.4 * np.log(np.arange(1, num_items + 1, dtype=np.float32))
+    deg = np.minimum(np.maximum(2, rng.poisson(avg_degree, size=num_users)),
+                     num_items // 2)
     us, its = [], []
-    for u in range(num_users):
-        # mix popularity with user affinity
-        aff = Ut[u] @ Vt.T
-        p = pop * np.exp(4.0 * (aff - aff.max()))
-        p /= p.sum()
-        chosen = rng.choice(num_items, size=min(deg[u], num_items // 2),
-                            replace=False, p=p)
-        us.append(np.full(len(chosen), u))
-        its.append(chosen)
+    chunk = max(1, min(num_users, (1 << 24) // max(1, num_items)))
+    dmax_all = int(deg.max())
+    for c0 in range(0, num_users, chunk):
+        c1 = min(c0 + chunk, num_users)
+        logits = 4.0 * (Ut[c0:c1] @ Vt.T) + logpop[None, :]
+        g = rng.gumbel(size=logits.shape).astype(np.float32)
+        keys = logits + g
+        dmax = int(deg[c0:c1].max())
+        top = np.argpartition(-keys, dmax - 1, axis=1)[:, :dmax]
+        rank_idx = np.arange(dmax)[None, :]
+        keep = rank_idx < deg[c0:c1, None]
+        uu = np.broadcast_to(np.arange(c0, c1)[:, None], top.shape)
+        us.append(uu[keep])
+        its.append(top[keep])
     u = np.concatenate(us).astype(np.int32)
     i = np.concatenate(its).astype(np.int32)
     r = np.ones(len(u), dtype=np.float32)
