@@ -47,6 +47,7 @@ class ALSConfig:
     item_cap: int = 512         # degree cap, items
     chunk: int = 1024           # rows per chunk per device
     dtype: str = "float32"
+    matmul_precision: str = "highest"   # TPU f32 matmul passes (see Config)
     seed: int = 0
 
 
@@ -162,10 +163,11 @@ class ALSModel:
 
     def step(self):
         """One full ALS iteration (users then items), two jitted sweeps."""
-        self.U = self._sweep(self.V, self._u_idx_d, self._u_rat_d,
-                             self._lam, self._alpha)
-        self.V = self._sweep(self.U, self._i_idx_d, self._i_rat_d,
-                             self._lam, self._alpha)
+        with jax.default_matmul_precision(self.config.matmul_precision):
+            self.U = self._sweep(self.V, self._u_idx_d, self._u_rat_d,
+                                 self._lam, self._alpha)
+            self.V = self._sweep(self.U, self._i_idx_d, self._i_rat_d,
+                                 self._lam, self._alpha)
 
     def fit(self, iters: int | None = None, log=None):
         iters = self.config.iters if iters is None else iters
@@ -173,7 +175,10 @@ class ALSModel:
         for it in range(iters):
             t0 = time.perf_counter()
             self.step()
+            # block_until_ready on sharded arrays can return early on some
+            # experimental backends; fetching a slice forces materialization
             jax.block_until_ready((self.U, self.V))
+            np.asarray(self.V[:1, :1])
             dt = time.perf_counter() - t0
             ex_s = self.data.nnz * 2 / dt
             stats.append({"iter": it, "sec": dt, "examples_per_sec": ex_s})
