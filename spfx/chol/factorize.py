@@ -106,9 +106,10 @@ class CholeskyFactor:
             rr = sym.sn_row_list(s)
             R = len(rr)
             w = c2 - c1
+            wp = int(self.plan.strides[s])
             off = self.plan.offsets[s]
             for c in range(w):
-                v = Lh[off + np.arange(R) * w + c]     # row-major panel
+                v = Lh[off + np.arange(R) * wp + c]    # row-major panel
                 keep = rr >= c1 + c
                 rows.append(rr[keep])
                 cols.append(np.full(keep.sum(), c1 + c))
@@ -125,8 +126,9 @@ class CholeskyFactor:
         for s in range(sym.nsuper):
             c1, c2 = sym.sn_start[s], sym.sn_start[s + 1]
             w = c2 - c1
+            wp = int(self.plan.strides[s])
             off = self.plan.offsets[s]
-            d = Lh[off + np.arange(w) * (w + 1)]       # row-major diagonal
+            d = Lh[off + np.arange(w) * wp + np.arange(w)]  # panel diagonal
             tot += np.log(d).sum()
         return 2.0 * tot
 

@@ -103,9 +103,10 @@ class LUFactor:
             rr = sym.sn_row_list(s)
             R = len(rr)
             w = c2 - c1
+            wp = int(self.plan.strides[s])
             off = self.plan.offsets[s]
             for c in range(w):
-                pos = off + np.arange(R) * w + c       # row-major panel
+                pos = off + np.arange(R) * wp + c      # row-major panel
                 colv = Lh[pos]
                 keep = rr >= c1 + c
                 lr.append(rr[keep]); lc.append(np.full(keep.sum(), c1 + c))

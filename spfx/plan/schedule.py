@@ -16,9 +16,12 @@ What the reference does at runtime, spfx does at plan time:
 - the GPU slot/stage machinery (:1721-1907) -> nothing: XLA owns HBM; batch
   quanta bound the transient working set.
 
-Storage layout: each supernode panel is a dense row-major (nsrow x nscol)
-block in one flat value array; flat position of local (r, c) is
-offset_s + r * nscol_s + c. The array carries SLACK trailing zero slots so
+Storage layout: each supernode panel is a dense row-major (nsrow x Wp)
+block in one flat value array, where Wp = the supernode width padded to the
+power-of-4 class grid {8,32,128,512}: the storage stride IS the shape class,
+so every window is stride-aligned (and the padded tail columns hold exact
+zeros). Flat position of local (r, c) is offset_s + r * Wp_s + c. The array
+carries SLACK trailing zero slots so
 fixed-width windows may safely overrun the last panel; out-of-pattern /
 padding rows use start = -1, which FILL_OR_DROP gathers read as zeros and
 scatters drop. Contributions whose target entry is outside the supernode
@@ -124,6 +127,7 @@ class FactorPlan:
     flops: float
     assembly_idx_u: np.ndarray | None = None  # LU: U^T panel positions for
     #                                           strict-upper A entries
+    strides: np.ndarray | None = None  # (nsuper,) padded panel widths Wp
 
     @property
     def storage(self) -> int:
@@ -172,14 +176,15 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     nsuper = sym.nsuper
     W = np.diff(sym.sn_start).astype(np.int64)
     R = np.diff(sym.sn_ptr).astype(np.int64)
+    lo = config.pad_min
+    Wp = np.asarray([_pad4(int(w), lo) for w in W], dtype=np.int64)
     offsets = np.zeros(nsuper, dtype=np.int64)
-    np.cumsum(R[:-1] * W[:-1], out=offsets[1:])
-    xsize = int((R * W).sum())
+    np.cumsum(R[:-1] * Wp[:-1], out=offsets[1:])
+    xsize = int((R * Wp).sum())
     if xsize + SLACK >= 2**31:
         raise ValueError(f"factor too large for int32 indexing: {xsize}")
     first_col = sym.sn_start[:-1]
     rowpos = _row_position_lookup(sym)
-    lo = config.pad_min
 
     # ---------------- panel buckets per level ---------------------------
     nlev = int(sym.sn_level.max()) + 1 if nsuper else 0
@@ -191,8 +196,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         sns = order[np.searchsorted(lvl_sorted, lv):
                     np.searchsorted(lvl_sorted, lv, side="right")]
         w, r = W[sns], R[sns]
-        pkeys = np.stack([[_pad2(a, lo), _pad2(b, lo)]
-                          for a, b in zip(w, r - w)]) \
+        pkeys = np.stack([[int(a), _pad2(b, lo)]
+                          for a, b in zip(Wp[sns], r - w)]) \
             if len(sns) else np.zeros((0, 2), np.int64)
         for key in (np.unique(pkeys, axis=0) if len(sns) else []):
             cp, rbp = int(key[0]), int(key[1])
@@ -201,7 +206,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                                 config.max_gather_elems,
                                 config.batch_floor_elems)
             for c0 in range(0, len(sel), qb):
-                pb = _make_panel_bucket(sel[c0:c0 + qb], W, R, offsets,
+                pb = _make_panel_bucket(sel[c0:c0 + qb], W, Wp, R, offsets,
                                         first_col, sym, cp, rbp, qb)
                 levels[lv].panels.append(pb)
                 total_flops += pb.flops
@@ -234,8 +239,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         t_pad = np.stack([
             [padf(a, lo) for a in t_M],
             [padf(a, lo) for a in t_N],
-            [padf(a, lo) for a in t_K],
-            [padf(a, lo) for a in W[t_s]]], axis=1)
+            list(Wp[t_d]),              # K class == source storage stride
+            list(Wp[t_s])], axis=1)     # Csp class == target storage stride
         for lv in range(nlev):
             in_lv = np.flatnonzero(t_level == lv)
             if not len(in_lv):
@@ -250,7 +255,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                 for c0 in range(0, len(sel), qb):
                     ub = _make_update_bucket(
                         sel[c0:c0 + qb], t_d, t_s, t_lpos, t_M, t_N, t_K,
-                        W, R, offsets, first_col, sym, rowpos,
+                        Wp, R, offsets, first_col, sym, rowpos,
                         mp, np_, kp, csp, qb)
                     levels[lv].updates.append(ub)
                     total_flops += ub.flops
@@ -263,7 +268,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         lpos = rowpos(s_of, arow)
         if (lpos < 0).any():
             raise AssertionError("A entry outside factor pattern")
-        return offsets[s_of] + lpos * W[s_of] + (acol - first_col[s_of])
+        return offsets[s_of] + lpos * Wp[s_of] + (acol - first_col[s_of])
 
     Ap = sp.csc_matrix(A)[sym.perm][:, sym.perm]
     assembly_idx = entry_positions(sp.tril(Ap).tocsc())
@@ -278,7 +283,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     return FactorPlan(n=n, xsize=xsize, levels=levels,
                       assembly_idx=assembly_idx, offsets=offsets,
                       flops=(2.0 if lu else 1.0) * total_flops,
-                      assembly_idx_u=assembly_idx_u)
+                      assembly_idx_u=assembly_idx_u, strides=Wp)
 
 
 def _pad_batch(arrs, B, Bq, fills):
@@ -289,17 +294,18 @@ def _pad_batch(arrs, B, Bq, fills):
         for a, f in zip(arrs, fills)]
 
 
-def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp, qb=None):
+def _make_panel_bucket(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
+                       qb=None):
     B = len(sel)
     qb = pad_pow2(B, 1) if qb is None else qb
-    w, r, off = W[sel], R[sel], offsets[sel]
+    w, wp, r, off = W[sel], Wp[sel], R[sel], offsets[sel]
     ci = np.arange(cp, dtype=np.int64)[None, :]
     vc = ci < w[:, None]
-    diag_row_start = np.where(vc, off[:, None] + ci * w[:, None], -1)
+    diag_row_start = np.where(vc, off[:, None] + ci * wp[:, None], -1)
     ri = np.arange(rbp, dtype=np.int64)[None, :]
     vr = ri < (r - w)[:, None]
     below_row_start = np.where(vr, off[:, None] + (w[:, None] + ri)
-                               * w[:, None], -1)
+                               * wp[:, None], -1)
     xcols = np.where(vc, first_col[sel][:, None] + ci, -1)
     if rbp:
         pat_idx = np.minimum(sym.sn_ptr[sel][:, None] + w[:, None] + ri,
@@ -316,7 +322,7 @@ def _make_panel_bucket(sel, W, R, offsets, first_col, sym, cp, rbp, qb=None):
 
 
 def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
-                        W, R, offsets, first_col, sym, rowpos,
+                        Wp, R, offsets, first_col, sym, rowpos,
                         mp, np_, kp, csp, qb=None):
     B = len(sel)
     qb = pad_pow2(B, 1) if qb is None else qb
@@ -325,7 +331,7 @@ def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     mi = np.arange(mp, dtype=np.int64)[None, :]
     vm = mi < M[:, None]
     src_row_start = np.where(
-        vm, offsets[d][:, None] + (lpos[:, None] + mi) * K[:, None], -1)
+        vm, offsets[d][:, None] + (lpos[:, None] + mi) * Wp[d][:, None], -1)
     # global rows covered by each task's M window
     pat = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + mi,
                      len(sym.sn_rows) - 1)
@@ -334,7 +340,7 @@ def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
                   grow.ravel()).reshape(grow.shape)
     tgt_row_start = np.where(
         vm & (tpos >= 0),
-        offsets[s][:, None] + tpos * W[s][:, None], -1)
+        offsets[s][:, None] + tpos * Wp[s][:, None], -1)
     ni = np.arange(np_, dtype=np.int64)[None, :]
     vn = ni < N[:, None]
     patn = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + ni,
