@@ -40,17 +40,25 @@ def run(scale: str = "100k", iters: int = 8, mesh=None) -> dict:
         log(f"loaded {path}: {inter.num_users} users {inter.num_items} items "
             f"{inter.nnz} interactions")
     else:
-        if scale == "20m":
-            inter = rdata.synthetic(138000, 27000, avg_degree=144, rank=16,
-                                    seed=0)
+        cache = f"/tmp/spfx_als_{scale}.npz"
+        if os.path.exists(cache):
+            z = np.load(cache)
+            inter = rdata.Interactions(int(z["nu"]), int(z["ni"]),
+                                       z["u"], z["i"], z["r"])
         else:
-            inter = rdata.synthetic(943, 1682, avg_degree=106, rank=12,
-                                    seed=0)
+            if scale == "20m":
+                inter = rdata.synthetic(138000, 27000, avg_degree=144,
+                                        rank=16, seed=0)
+            else:
+                inter = rdata.synthetic(943, 1682, avg_degree=106, rank=12,
+                                        seed=0)
+            np.savez(cache, nu=inter.num_users, ni=inter.num_items,
+                     u=inter.user_ids, i=inter.item_ids, r=inter.ratings)
         log(f"synthetic {scale}: {inter.num_users} users {inter.num_items} "
             f"items {inter.nnz} interactions")
     train, test = inter.split(holdout=5, seed=1)
     cfg = ALSConfig(rank=64, lam=0.3, alpha=10.0, user_cap=256, item_cap=512,
-                    chunk=256, dtype="float32")
+                    chunk=512, dtype="float32")
     m = ALSModel(train, cfg, mesh=mesh)
     stats = m.fit(iters=iters, log=log)
     steady = [s["examples_per_sec"] for s in stats[1:]] or \
