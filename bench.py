@@ -102,9 +102,12 @@ def main():
 
     gflops = ctx.plan.flops / best / 1e9
 
-    # correctness gate (reference-style residual, :3262)
+    # correctness gate (reference-style residual, :3262) + solve timing
     b = synth_rhs(A)
-    x = f.solve(b)
+    x = f.solve(b)          # includes refinement solves (compile warmup)
+    t0 = time.perf_counter()
+    f._solve_device(b)
+    log(f"solve (fwd+bwd, device): {time.perf_counter() - t0:.3f}s")
     res = scaled_residual(A, x, b)
     log(f"scaled residual: {res:.3e}")
     if not res < 1e-10:

@@ -18,7 +18,7 @@ What the reference does at runtime, spfx does at plan time:
 
 Storage layout: each supernode panel is a dense row-major (nsrow x Wp)
 block in one flat value array, where Wp = the supernode width padded to the
-power-of-4 class grid {8,32,128,512}: the storage stride IS the shape class,
+power-of-2 grid: the storage stride IS the K/C shape class,
 so every window is stride-aligned (and the padded tail columns hold exact
 zeros). Flat position of local (r, c) is offset_s + r * Wp_s + c. The array
 carries SLACK trailing zero slots so
@@ -177,7 +177,10 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     W = np.diff(sym.sn_start).astype(np.int64)
     R = np.diff(sym.sn_ptr).astype(np.int64)
     lo = config.pad_min
-    Wp = np.asarray([_pad4(int(w), lo) for w in W], dtype=np.int64)
+    if config.stride_padding:
+        Wp = np.asarray([_pad2(int(w), lo) for w in W], dtype=np.int64)
+    else:
+        Wp = W.copy()     # stride == true width; windows overlap row tails
     offsets = np.zeros(nsuper, dtype=np.int64)
     np.cumsum(R[:-1] * Wp[:-1], out=offsets[1:])
     xsize = int((R * Wp).sum())
@@ -196,7 +199,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         sns = order[np.searchsorted(lvl_sorted, lv):
                     np.searchsorted(lvl_sorted, lv, side="right")]
         w, r = W[sns], R[sns]
-        pkeys = np.stack([[int(a), _pad2(b, lo)]
+        pkeys = np.stack([[_pad2(int(a), lo), _pad2(b, lo)]
                           for a, b in zip(Wp[sns], r - w)]) \
             if len(sns) else np.zeros((0, 2), np.int64)
         for key in (np.unique(pkeys, axis=0) if len(sns) else []):
@@ -236,11 +239,16 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         # numeric engines run a level's updates BEFORE its panel factors.
         t_level = sym.sn_level[t_s]
         padf = _pad4 if config.class_granularity == "pow4" else _pad2
+        if config.stride_padding:
+            kcls = list(Wp[t_d])        # K class == source storage stride
+            ccls = list(Wp[t_s])        # Csp class == target storage stride
+        else:
+            kcls = [padf(a, lo) for a in t_K]
+            ccls = [padf(a, lo) for a in W[t_s]]
         t_pad = np.stack([
             [padf(a, lo) for a in t_M],
             [padf(a, lo) for a in t_N],
-            list(Wp[t_d]),              # K class == source storage stride
-            list(Wp[t_s])], axis=1)     # Csp class == target storage stride
+            kcls, ccls], axis=1)
         for lv in range(nlev):
             in_lv = np.flatnonzero(t_level == lv)
             if not len(in_lv):

@@ -52,6 +52,9 @@ class Config:
     class_granularity: str = "pow4"   # update shape-class padding: "pow4"
     #                                   (fewer classes -> fewer calls) or
     #                                   "pow2" (less padding waste)
+    stride_padding: bool = False      # pad panel storage stride to the class
+    #                                   grid (windows==stride; measured slower
+    #                                   on the XLA path, kept for Pallas)
 
     # ---- numeric --------------------------------------------------------
     dtype: str = "float32"          # device compute dtype
