@@ -45,6 +45,32 @@ class CholeskyFactor:
 
     # -- solves -----------------------------------------------------------
 
+    def _use_host_solve(self) -> bool:
+        from spfx.symbolic import _native
+        if self.config.solve_backend == "device":
+            return False
+        if "complex" in self.config.dtype:
+            return False
+        ok = _native.available()
+        if self.config.solve_backend == "host" and not ok:
+            raise RuntimeError("host solve requested but native lib missing")
+        return ok
+
+    def _solve_host(self, b: np.ndarray) -> np.ndarray:
+        """Native C++ supernodal solve on the copied-back factor (f64)."""
+        from spfx.symbolic import _native
+        if not hasattr(self, "_Lh") or self._Lh is None:
+            self._Lh = np.ascontiguousarray(np.asarray(self.L))
+        n = self.sym.n
+        squeeze = b.ndim == 1
+        b2 = np.asarray(b, dtype=np.float64).reshape(n, -1)
+        out = np.empty_like(b2)
+        for j in range(b2.shape[1]):
+            x = np.ascontiguousarray(b2[self.sym.perm, j])
+            _native.chol_solve_host(self.sym, self.plan, self._Lh, x)
+            out[self.sym.perm, j] = x
+        return out[:, 0] if squeeze else out
+
     def _solve_device(self, b: np.ndarray) -> np.ndarray:
         """One forward+backward supernodal solve pass on device."""
         n = self.sym.n
@@ -83,7 +109,9 @@ class CholeskyFactor:
                                  or "complex" in self.config.dtype) \
             else np.float64
         b = b.astype(wide)
-        x = self._solve_device(b).astype(wide)
+        solve1 = self._solve_host if self._use_host_solve() \
+            else self._solve_device
+        x = solve1(b).astype(wide)
         if refine <= 0:
             return x
         bn = np.abs(b).max() + 1e-300
@@ -91,7 +119,7 @@ class CholeskyFactor:
             r = b - self.A @ x
             if np.abs(r).max() / bn < self.config.refine_tol:
                 break
-            x = x + self._solve_device(r).astype(wide)
+            x = x + solve1(r).astype(wide)
         return x
 
     # -- introspection ----------------------------------------------------

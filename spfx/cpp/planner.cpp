@@ -363,3 +363,131 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host supernodal triangular solves (f64 accumulate over f32 or f64 panels).
+//
+// The reference's solve is also host-side and sequential
+// (SparseFrame_solve_supernodal, Cholesky/Source/SparseFrame.c:3036-3139;
+// LU :3592-3700). Panels are row-major with per-supernode stride (see
+// spfx/plan/schedule.py); values are the device factor copied back once.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static void chol_solve_impl(int64_t nsuper, const int64_t* sn_start,
+                            const int64_t* sn_ptr, const int64_t* sn_rows,
+                            const int64_t* offsets, const int64_t* strides,
+                            const T* Lv, double* x) {
+  // forward: L y = b
+  for (int64_t s = 0; s < nsuper; ++s) {
+    int64_t c1 = sn_start[s], c2 = sn_start[s + 1];
+    int64_t w = c2 - c1, wp = strides[s];
+    int64_t p0 = sn_ptr[s], R = sn_ptr[s + 1] - p0;
+    const T* P = Lv + offsets[s];
+    for (int64_t j = 0; j < w; ++j) {
+      double acc = x[c1 + j];
+      const T* row = P + j * wp;
+      for (int64_t t = 0; t < j; ++t) acc -= (double)row[t] * x[c1 + t];
+      x[c1 + j] = acc / (double)row[j];
+    }
+    for (int64_t r = w; r < R; ++r) {
+      const T* row = P + r * wp;
+      double acc = 0.0;
+      for (int64_t t = 0; t < w; ++t) acc += (double)row[t] * x[c1 + t];
+      x[sn_rows[p0 + r]] -= acc;
+    }
+  }
+  // backward: L^T x = y
+  for (int64_t s = nsuper - 1; s >= 0; --s) {
+    int64_t c1 = sn_start[s], c2 = sn_start[s + 1];
+    int64_t w = c2 - c1, wp = strides[s];
+    int64_t p0 = sn_ptr[s], R = sn_ptr[s + 1] - p0;
+    const T* P = Lv + offsets[s];
+    for (int64_t j = w - 1; j >= 0; --j) {
+      double acc = x[c1 + j];
+      for (int64_t r = w; r < R; ++r)
+        acc -= (double)P[r * wp + j] * x[sn_rows[p0 + r]];
+      // (L^T x)_j uses L[t,j] = P[t*wp + j] for t > j (column j of L)
+      for (int64_t t = j + 1; t < w; ++t)
+        acc -= (double)P[t * wp + j] * x[c1 + t];
+      x[c1 + j] = acc / (double)P[j * wp + j];
+    }
+  }
+}
+
+template <typename T>
+static void lu_solve_impl(int64_t nsuper, const int64_t* sn_start,
+                          const int64_t* sn_ptr, const int64_t* sn_rows,
+                          const int64_t* offsets, const int64_t* strides,
+                          const T* Lv, const T* Uv, double* x) {
+  // forward: unit-L y = b
+  for (int64_t s = 0; s < nsuper; ++s) {
+    int64_t c1 = sn_start[s], c2 = sn_start[s + 1];
+    int64_t w = c2 - c1, wp = strides[s];
+    int64_t p0 = sn_ptr[s], R = sn_ptr[s + 1] - p0;
+    const T* P = Lv + offsets[s];
+    for (int64_t j = 0; j < w; ++j) {
+      double acc = x[c1 + j];
+      const T* row = P + j * wp;
+      for (int64_t t = 0; t < j; ++t) acc -= (double)row[t] * x[c1 + t];
+      x[c1 + j] = acc;                       // unit diagonal
+    }
+    for (int64_t r = w; r < R; ++r) {
+      const T* row = P + r * wp;
+      double acc = 0.0;
+      for (int64_t t = 0; t < w; ++t) acc += (double)row[t] * x[c1 + t];
+      x[sn_rows[p0 + r]] -= acc;
+    }
+  }
+  // backward: U x = y. Ux panel stores U^T: Uv[r*wp + c] = U[c1+c, grow(r)]
+  for (int64_t s = nsuper - 1; s >= 0; --s) {
+    int64_t c1 = sn_start[s], c2 = sn_start[s + 1];
+    int64_t w = c2 - c1, wp = strides[s];
+    int64_t p0 = sn_ptr[s], R = sn_ptr[s + 1] - p0;
+    const T* P = Uv + offsets[s];
+    for (int64_t j = w - 1; j >= 0; --j) {
+      double acc = x[c1 + j];
+      for (int64_t r = w; r < R; ++r)
+        acc -= (double)P[r * wp + j] * x[sn_rows[p0 + r]];
+      for (int64_t t = j + 1; t < w; ++t)
+        acc -= (double)P[t * wp + j] * x[c1 + t];   // U[c1+j, c1+t]
+      x[c1 + j] = acc / (double)P[j * wp + j];      // pivot U[j,j]
+    }
+  }
+}
+
+extern "C" {
+
+void spfx_chol_solve_f32(int64_t nsuper, const int64_t* sn_start,
+                         const int64_t* sn_ptr, const int64_t* sn_rows,
+                         const int64_t* offsets, const int64_t* strides,
+                         const float* Lv, double* x) {
+  chol_solve_impl<float>(nsuper, sn_start, sn_ptr, sn_rows, offsets, strides,
+                         Lv, x);
+}
+
+void spfx_chol_solve_f64(int64_t nsuper, const int64_t* sn_start,
+                         const int64_t* sn_ptr, const int64_t* sn_rows,
+                         const int64_t* offsets, const int64_t* strides,
+                         const double* Lv, double* x) {
+  chol_solve_impl<double>(nsuper, sn_start, sn_ptr, sn_rows, offsets, strides,
+                          Lv, x);
+}
+
+void spfx_lu_solve_f32(int64_t nsuper, const int64_t* sn_start,
+                       const int64_t* sn_ptr, const int64_t* sn_rows,
+                       const int64_t* offsets, const int64_t* strides,
+                       const float* Lv, const float* Uv, double* x) {
+  lu_solve_impl<float>(nsuper, sn_start, sn_ptr, sn_rows, offsets, strides,
+                       Lv, Uv, x);
+}
+
+void spfx_lu_solve_f64(int64_t nsuper, const int64_t* sn_start,
+                       const int64_t* sn_ptr, const int64_t* sn_rows,
+                       const int64_t* offsets, const int64_t* strides,
+                       const double* Lv, const double* Uv, double* x) {
+  lu_solve_impl<double>(nsuper, sn_start, sn_ptr, sn_rows, offsets, strides,
+                        Lv, Uv, x);
+}
+
+}  // extern "C"

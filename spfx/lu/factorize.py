@@ -44,6 +44,32 @@ class LUFactor:
         self.config = config
         self._solver = solver
 
+    def _use_host_solve(self) -> bool:
+        from spfx.symbolic import _native
+        if self.config.solve_backend == "device":
+            return False
+        if "complex" in self.config.dtype:
+            return False
+        ok = _native.available()
+        if self.config.solve_backend == "host" and not ok:
+            raise RuntimeError("host solve requested but native lib missing")
+        return ok
+
+    def _solve_host(self, b: np.ndarray) -> np.ndarray:
+        from spfx.symbolic import _native
+        if getattr(self, "_Lh", None) is None:
+            self._Lh = np.ascontiguousarray(np.asarray(self.Lx))
+            self._Uh = np.ascontiguousarray(np.asarray(self.Ux))
+        n = self.sym.n
+        squeeze = b.ndim == 1
+        b2 = np.asarray(b, dtype=np.float64).reshape(n, -1)
+        out = np.empty_like(b2)
+        for j in range(b2.shape[1]):
+            x = np.ascontiguousarray(b2[self.sym.perm, j])
+            _native.lu_solve_host(self.sym, self.plan, self._Lh, self._Uh, x)
+            out[self.sym.perm, j] = x
+        return out[:, 0] if squeeze else out
+
     def _solve_device(self, b: np.ndarray) -> np.ndarray:
         n = self.sym.n
         squeeze = b.ndim == 1
@@ -80,7 +106,9 @@ class LUFactor:
                                  or "complex" in self.config.dtype) \
             else np.float64
         b = b.astype(wide)
-        x = self._solve_device(b).astype(wide)
+        solve1 = self._solve_host if self._use_host_solve() \
+            else self._solve_device
+        x = solve1(b).astype(wide)
         if refine <= 0:
             return x
         bn = np.abs(b).max() + 1e-300
@@ -88,7 +116,7 @@ class LUFactor:
             r = b - self.A @ x
             if np.abs(r).max() / bn < self.config.refine_tol:
                 break
-            x = x + self._solve_device(r).astype(wide)
+            x = x + solve1(r).astype(wide)
         return x
 
     def LU_sparse(self) -> tuple[sp.csc_matrix, sp.csc_matrix]:

@@ -129,3 +129,60 @@ def amd(n, indptr, indices) -> np.ndarray | None:
     if rc != 0:
         return None
     return perm
+
+
+def _register_solves(lib):
+    import ctypes
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    for name, vp in [("spfx_chol_solve_f32", f32p),
+                     ("spfx_chol_solve_f64", f64p)]:
+        fn = getattr(lib, name)
+        fn.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, vp, f64p]
+        fn.restype = None
+    for name, vp in [("spfx_lu_solve_f32", f32p),
+                     ("spfx_lu_solve_f64", f64p)]:
+        fn = getattr(lib, name)
+        fn.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, vp, vp,
+                       f64p]
+        fn.restype = None
+
+
+def _solve_ptr(a):
+    import ctypes
+    if a.dtype == np.float32:
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), "f32"
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), "f64"
+
+
+def chol_solve_host(sym, plan, Lh: np.ndarray, x: np.ndarray) -> None:
+    """In-place host supernodal solve L L^T x = b (x holds b on entry)."""
+    lib = _load()
+    if not hasattr(lib, "_solves_registered"):
+        _register_solves(lib)
+        lib._solves_registered = True
+    ptr, tag = _solve_ptr(Lh)
+    fn = getattr(lib, f"spfx_chol_solve_{tag}")
+    import ctypes
+    fn(sym.nsuper, _p64(_i64(sym.sn_start)), _p64(_i64(sym.sn_ptr)),
+       _p64(_i64(sym.sn_rows)), _p64(_i64(plan.offsets)),
+       _p64(_i64(plan.strides)), ptr,
+       x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+
+
+def lu_solve_host(sym, plan, Lh: np.ndarray, Uh: np.ndarray,
+                  x: np.ndarray) -> None:
+    """In-place host supernodal solve L U x = b (x holds b on entry)."""
+    lib = _load()
+    if not hasattr(lib, "_solves_registered"):
+        _register_solves(lib)
+        lib._solves_registered = True
+    lptr, tag = _solve_ptr(Lh)
+    uptr, _ = _solve_ptr(Uh)
+    fn = getattr(lib, f"spfx_lu_solve_{tag}")
+    import ctypes
+    fn(sym.nsuper, _p64(_i64(sym.sn_start)), _p64(_i64(sym.sn_ptr)),
+       _p64(_i64(sym.sn_rows)), _p64(_i64(plan.offsets)),
+       _p64(_i64(plan.strides)), lptr, uptr,
+       x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))

@@ -64,6 +64,11 @@ class Config:
     matmul_precision: str = "highest"
     refine_iters: int = 3           # f64 iterative-refinement sweeps on solve
     refine_tol: float = 1e-12       # stop refinement below this scaled resid
+    # Solve backend: "host" runs the native C++ supernodal solve in f64 on
+    # the copied-back factor (single-RHS latency path, no device compiles);
+    # "device" runs the level-batched TPU solves (many-RHS throughput path);
+    # "auto" picks host when the native library and a real dtype are present.
+    solve_backend: str = "auto"
 
     # ---- execution ------------------------------------------------------
     # Fused multi-level chunks measured ~3-5x SLOWER on TPU than individual

@@ -101,3 +101,16 @@ def test_singular_matrix_yields_nan():
     f = cholesky(B.tocsc(), F64)
     x = f.solve(np.ones(36), refine=0)
     assert not np.isfinite(x).all()
+
+
+def test_host_and_device_solve_agree():
+    from spfx.symbolic import _native
+    if not _native.available():
+        import pytest
+        pytest.skip("native lib missing")
+    A = generate.laplacian_2d(12)
+    f = cholesky(A, F64)
+    b = synth_rhs(A)
+    xh = f._solve_host(b)
+    xd = f._solve_device(b)
+    assert np.abs(xh - np.asarray(xd)).max() < 1e-11

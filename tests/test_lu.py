@@ -80,3 +80,16 @@ def test_lu_matches_cholesky_on_spd():
     x_lu = lu(A, F64).solve(b, refine=0)
     x_ch = cholesky(A, F64).solve(b, refine=0)
     assert np.abs(x_lu - x_ch).max() < 1e-9 * np.abs(x_ch).max()
+
+
+def test_lu_host_and_device_solve_agree():
+    from spfx.symbolic import _native
+    if not _native.available():
+        import pytest
+        pytest.skip("native lib missing")
+    A = generate.random_unsym(45, density=0.1, seed=17)
+    f = lu(A, F64)
+    b = synth_rhs(A)
+    xh = f._solve_host(b)
+    xd = f._solve_device(b)
+    assert np.abs(xh - np.asarray(xd)).max() < 1e-11
