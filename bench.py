@@ -104,10 +104,10 @@ def main():
 
     # correctness gate (reference-style residual, :3262) + solve timing
     b = synth_rhs(A)
-    x = f.solve(b)          # includes refinement solves (compile warmup)
+    x = f.solve(b)          # refined solve (host C++ backend by default)
     t0 = time.perf_counter()
-    f._solve_device(b)
-    log(f"solve (fwd+bwd, device): {time.perf_counter() - t0:.3f}s")
+    f.solve(b)
+    log(f"refined solve: {time.perf_counter() - t0:.3f}s")
     res = scaled_residual(A, x, b)
     log(f"scaled residual: {res:.3e}")
     if not res < 1e-10:
