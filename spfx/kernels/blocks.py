@@ -66,8 +66,9 @@ def _col_mask(widths, cp, dtype):
 # (ref dpotrf+dtrsm panel, :2134-2145 CPU / :2795-2837 GPU)
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, donate_argnums=0)
-def factor_panels_chol(L, widths, diag_row_start, below_row_start):
+def panel_deltas_chol(L, widths, diag_row_start, below_row_start):
+    """Compute the panel-factorization row deltas (new - old) without
+    writing them back; shared by the in-place and the sharded engines."""
     cp = diag_row_start.shape[1]
     cm = _col_mask(widths, cp, L.dtype)                  # (B, Cp)
     Draw = _win_gather(L, diag_row_start, cp)            # (B, Cp, Cp)
@@ -84,6 +85,12 @@ def factor_panels_chol(L, widths, diag_row_start, below_row_start):
     on = cm[:, None, :] > 0
     dD = jnp.where(on, L11, Draw) - Draw
     dB = jnp.where(on, L21, Braw) - Braw
+    return dD, dB
+
+
+@partial(jax.jit, donate_argnums=0)
+def factor_panels_chol(L, widths, diag_row_start, below_row_start):
+    dD, dB = panel_deltas_chol(L, widths, diag_row_start, below_row_start)
     L = _win_scatter_add(L, diag_row_start, dD)
     return _win_scatter_add(L, below_row_start, dB)
 
@@ -95,9 +102,9 @@ def factor_panels_chol(L, widths, diag_row_start, below_row_start):
 #  mappedSubtract cuda_kernel.cu:62-124)
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, donate_argnums=0, static_argnames=("kp", "csp"))
-def apply_updates_sym(L, kw, src_row_start, tgt_row_start, tgt_cpos,
-                      kp: int, csp: int):
+def update_rows_sym(L, kw, src_row_start, tgt_cpos, kp: int, csp: int):
+    """Compute the (B, Mp, csp) update rows E to be subtracted at
+    tgt_row_start; shared by the in-place and the sharded engines."""
     G = _win_gather(L, src_row_start, kp)                # (B, Mp, kp)
     G = G * _col_mask(kw, kp, L.dtype)[:, None, :]
     np_ = tgt_cpos.shape[1]
@@ -105,8 +112,14 @@ def apply_updates_sym(L, kw, src_row_start, tgt_row_start, tgt_cpos,
     C = jnp.einsum("bmk,bnk->bmn", G, Gt,
                    preferred_element_type=L.dtype)
     oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :])
-    E = jnp.einsum("bmn,bnc->bmc", C, oh.astype(L.dtype),
-                   preferred_element_type=L.dtype)
+    return jnp.einsum("bmn,bnc->bmc", C, oh.astype(L.dtype),
+                      preferred_element_type=L.dtype)
+
+
+@partial(jax.jit, donate_argnums=0, static_argnames=("kp", "csp"))
+def apply_updates_sym(L, kw, src_row_start, tgt_row_start, tgt_cpos,
+                      kp: int, csp: int):
+    E = update_rows_sym(L, kw, src_row_start, tgt_cpos, kp, csp)
     return _win_scatter_add(L, tgt_row_start, -E)
 
 
@@ -165,11 +178,13 @@ def _getrf_nopiv_unblocked(D):
     return Lu, U
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def factor_panels_lu(Lx, Ux, widths, diag_row_start, below_row_start):
-    """Factor LU supernode panels. Lx holds L panels (unit diagonal stored
-    explicitly), Ux holds U^T panels with the same row pattern (ref
-    side-by-side L|U storage, LU/Source/SparseFrame.c:1786-1797).
+def panel_deltas_lu(Lx, Ux, widths, diag_row_start, below_row_start):
+    """LU panel-factorization row deltas (dDL, dBL, dDU, dBU); shared by the
+    in-place and the sharded engines.
+
+    Lx holds L panels (unit diagonal stored explicitly), Ux holds U^T panels
+    with the same row pattern (ref side-by-side L|U storage,
+    LU/Source/SparseFrame.c:1786-1797).
 
     Meaningful triangles: Lx diag block lower (incl diag), Ux diag block
     strictly lower (diag of A lives in Lx; Ux's diag slots hold pivots only
@@ -195,22 +210,28 @@ def factor_panels_lu(Lx, Ux, widths, diag_row_start, below_row_start):
                                        left_side=False, lower=True,
                                        unit_diagonal=True, transpose_a=True)
     on = cm[:, None, :] > 0
-    Lx = _win_scatter_add(Lx, diag_row_start,
-                          jnp.where(on, L11, DLraw) - DLraw)
-    Lx = _win_scatter_add(Lx, below_row_start,
-                          jnp.where(on, L21, BLraw) - BLraw)
     U11t = jnp.swapaxes(U11, 1, 2)
-    Ux = _win_scatter_add(Ux, diag_row_start,
-                          jnp.where(on, U11t, DUraw) - DUraw)
-    Ux = _win_scatter_add(Ux, below_row_start,
-                          jnp.where(on, U12t, BUraw) - BUraw)
+    return (jnp.where(on, L11, DLraw) - DLraw,
+            jnp.where(on, L21, BLraw) - BLraw,
+            jnp.where(on, U11t, DUraw) - DUraw,
+            jnp.where(on, U12t, BUraw) - BUraw)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def factor_panels_lu(Lx, Ux, widths, diag_row_start, below_row_start):
+    """Factor LU supernode panels in place (see panel_deltas_lu)."""
+    dDL, dBL, dDU, dBU = panel_deltas_lu(Lx, Ux, widths, diag_row_start,
+                                         below_row_start)
+    Lx = _win_scatter_add(Lx, diag_row_start, dDL)
+    Lx = _win_scatter_add(Lx, below_row_start, dBL)
+    Ux = _win_scatter_add(Ux, diag_row_start, dDU)
+    Ux = _win_scatter_add(Ux, below_row_start, dBU)
     return Lx, Ux
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("kp", "csp"))
-def apply_updates_lu(Lx, Ux, kw, src_row_start, tgt_row_start, tgt_cpos,
-                     kp: int, csp: int):
-    """LU descendant update pair (ref U8, LU/Source/SparseFrame.c:2569-2604):
+def update_rows_lu(Lx, Ux, kw, src_row_start, tgt_cpos, kp: int, csp: int):
+    """LU descendant update row pair (EL, EU) to be subtracted at
+    tgt_row_start (ref U8, LU/Source/SparseFrame.c:2569-2604):
     L side: A[i,q] -= Ld[i,:] . Ud[:,q];  U side: A[q,i] -= Ld[q,:] . Ud[:,i]
     (stored into the U^T panel at the same positions)."""
     km = _col_mask(kw, kp, Lx.dtype)[:, None, :]
@@ -225,6 +246,13 @@ def apply_updates_lu(Lx, Ux, kw, src_row_start, tgt_row_start, tgt_cpos,
         .astype(Lx.dtype)
     EL = jnp.einsum("bmn,bnc->bmc", CL, oh, preferred_element_type=Lx.dtype)
     EU = jnp.einsum("bmn,bnc->bmc", CU, oh, preferred_element_type=Lx.dtype)
+    return EL, EU
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("kp", "csp"))
+def apply_updates_lu(Lx, Ux, kw, src_row_start, tgt_row_start, tgt_cpos,
+                     kp: int, csp: int):
+    EL, EU = update_rows_lu(Lx, Ux, kw, src_row_start, tgt_cpos, kp, csp)
     Lx = _win_scatter_add(Lx, tgt_row_start, -EL)
     Ux = _win_scatter_add(Ux, tgt_row_start, -EU)
     return Lx, Ux

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from spfx.dist.mesh import make_mesh, round_up
 from spfx.kernels.dense import batched_chol_solve
