@@ -8,6 +8,9 @@ spfx has no external ordering libraries; it ships its own:
   active method class) — ``spfx.ordering.nd``
 - ``amd``: approximate minimum degree (quotient-graph) — native C++ with a
   Python fallback of minimum-degree semantics — ``spfx.ordering.amd``
+- ``camd``: constrained minimum degree (ref SparseFrame_camd :777-862;
+  class-ordered elimination) — ``spfx.ordering.camd`` (function API: takes
+  the per-vertex constraint vector)
 - ``rcm``: reverse Cuthill-McKee via scipy.csgraph (band-reducing baseline)
 - ``identity``: no permutation (ref PERM_IDENTITY, type.h:53)
 
@@ -23,6 +26,7 @@ import scipy.sparse as sp
 
 from .nd import nested_dissection
 from .amd import amd
+from .camd import camd
 
 
 def order(A: sp.spmatrix, method: str = "auto") -> np.ndarray:

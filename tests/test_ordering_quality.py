@@ -69,3 +69,39 @@ def test_native_matches_python_etree_colcounts():
         del os.environ["SPFX_NO_NATIVE"]
     assert np.array_equal(parent_native, parent_py)
     assert np.array_equal(counts_native, counts_py)
+
+
+def test_camd_is_permutation_and_respects_constraints():
+    from spfx.ordering import camd
+    A = generate.laplacian_2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    C = rng.integers(0, 3, n)
+    p = camd(A, C)
+    assert np.array_equal(np.sort(p), np.arange(n))
+    # constraint classes appear in nondecreasing order along the permutation
+    assert (np.diff(C[p]) >= 0).all()
+
+
+def test_camd_uniform_constraints_orders_like_md():
+    from spfx.ordering import camd
+    A = generate.laplacian_2d(10)
+    n = A.shape[0]
+    p = camd(A, np.zeros(n, dtype=np.int64))
+    # quality: no worse than 1.3x python-MD fill on the same grid
+    f_camd = fill_of(A, p)
+    f_nat = fill_of(A, np.arange(n))
+    assert f_camd < 0.8 * f_nat
+
+
+def test_camd_separator_constraints_reduce_fill():
+    """ND-style use: interior classes 0, separator class 1."""
+    from spfx.ordering import camd
+    A = generate.laplacian_2d(12)
+    n = A.shape[0]
+    # vertical middle column of the 12x12 grid is the separator
+    C = np.zeros(n, dtype=np.int64)
+    C[np.arange(n) % 12 == 6] = 1
+    p = camd(A, C)
+    assert (np.diff(C[p]) >= 0).all()
+    assert fill_of(A, p) < fill_of(A, np.arange(n))
