@@ -135,14 +135,20 @@ class FactorPlan:
 
 
 def _batch_quantum(total: int, per_item_elems: int, budget: int,
-                   floor: int = 1 << 18) -> int:
+                   floor: int = 1 << 18, max_pad_ratio: float = 0.0) -> int:
     """Power-of-two chunk size for a shape class: floored so tiny classes
     share a signature (and each call carries enough work to amortize launch
     overhead), capped so one chunk's working set stays under ``budget``
-    elements, never more than the padded class population."""
+    elements, never more than the padded class population.
+
+    max_pad_ratio > 0 additionally caps the quantum at
+    pad_pow2(ratio * total): bounds dead padded work per call at the cost of
+    more distinct (shape, batch) jit signatures across levels."""
     per = max(1, per_item_elems)
     qcap = 1 << (max(1, budget // per).bit_length() - 1)
     qmin = min(qcap, pad_pow2(max(1, floor // per), 1))
+    if max_pad_ratio > 0:
+        qmin = min(qmin, pad_pow2(max(1, int(max_pad_ratio * total)), 1))
     return min(max(pad_pow2(total, 1), qmin), qcap)
 
 
@@ -207,7 +213,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             sel = sns[(pkeys[:, 0] == cp) & (pkeys[:, 1] == rbp)]
             qb = _batch_quantum(len(sel), (cp + rbp) * cp,
                                 config.max_gather_elems,
-                                config.batch_floor_elems)
+                                config.batch_floor_elems,
+                                config.max_pad_ratio)
             for c0 in range(0, len(sel), qb):
                 pb = _make_panel_bucket(sel[c0:c0 + qb], W, Wp, R, offsets,
                                         first_col, sym, cp, rbp, qb)
@@ -239,12 +246,30 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         # numeric engines run a level's updates BEFORE its panel factors.
         t_level = sym.sn_level[t_s]
         padf = _pad4 if config.class_granularity == "pow4" else _pad2
+        # column windowing: an update touches only target columns
+        # [cmin, cmax] (pattern rows are sorted, so the span is just the
+        # first/last source row's position in the target). Expanding and
+        # scattering only that span — shifted row starts + span-relative
+        # one-hot — cuts the one-hot matmul and the scatter-add traffic by
+        # the span/width ratio (measured 4x less scatter traffic on 3D
+        # Poisson 48^3). Tail overrun past the row is safe: the one-hot
+        # leaves columns beyond the true span exactly zero, and adding
+        # zeros is a no-op (same invariant the padded tails already use).
+        t_cmin = sym.sn_rows[sym.sn_ptr[t_d] + t_lpos] - first_col[t_s]
+        t_cmax = sym.sn_rows[sym.sn_ptr[t_d] + t_lpos + t_N - 1] \
+            - first_col[t_s]
+        t_span = t_cmax - t_cmin + 1
         if config.stride_padding:
             kcls = list(Wp[t_d])        # K class == source storage stride
             ccls = list(Wp[t_s])        # Csp class == target storage stride
+            t_cmin = np.zeros_like(t_cmin)
+        elif config.update_windowing:
+            kcls = [padf(a, lo) for a in t_K]
+            ccls = [padf(a, lo) for a in t_span]
         else:
             kcls = [padf(a, lo) for a in t_K]
             ccls = [padf(a, lo) for a in W[t_s]]
+            t_cmin = np.zeros_like(t_cmin)
         t_pad = np.stack([
             [padf(a, lo) for a in t_M],
             [padf(a, lo) for a in t_N],
@@ -259,12 +284,13 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                 sel = in_lv[(pads == key).all(axis=1)]
                 qb = _batch_quantum(
                     len(sel), mp * kp + mp * np_ + (mp + np_) * csp,
-                    config.max_gather_elems, config.batch_floor_elems)
+                    config.max_gather_elems, config.batch_floor_elems,
+                    config.max_pad_ratio)
                 for c0 in range(0, len(sel), qb):
                     ub = _make_update_bucket(
                         sel[c0:c0 + qb], t_d, t_s, t_lpos, t_M, t_N, t_K,
                         Wp, R, offsets, first_col, sym, rowpos,
-                        mp, np_, kp, csp, qb)
+                        mp, np_, kp, csp, qb, t_cmin)
                     levels[lv].updates.append(ub)
                     total_flops += ub.flops
 
@@ -331,11 +357,12 @@ def _make_panel_bucket(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
 
 def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
                         Wp, R, offsets, first_col, sym, rowpos,
-                        mp, np_, kp, csp, qb=None):
+                        mp, np_, kp, csp, qb=None, t_cmin=None):
     B = len(sel)
     qb = pad_pow2(B, 1) if qb is None else qb
     d, s = t_d[sel], t_s[sel]
     lpos, M, N, K = t_lpos[sel], t_M[sel], t_N[sel], t_K[sel]
+    cmin = t_cmin[sel] if t_cmin is not None else np.zeros(B, np.int64)
     mi = np.arange(mp, dtype=np.int64)[None, :]
     vm = mi < M[:, None]
     src_row_start = np.where(
@@ -346,15 +373,18 @@ def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     grow = sym.sn_rows[pat]
     tpos = rowpos(np.broadcast_to(s[:, None], grow.shape).ravel(),
                   grow.ravel()).reshape(grow.shape)
+    # shift each scatter row start into the task's column window (see
+    # build_plan: the one-hot is span-relative, so padded tail columns are
+    # exact zeros and row-end overrun is a no-op add)
     tgt_row_start = np.where(
         vm & (tpos >= 0),
-        offsets[s][:, None] + tpos * Wp[s][:, None], -1)
+        offsets[s][:, None] + tpos * Wp[s][:, None] + cmin[:, None], -1)
     ni = np.arange(np_, dtype=np.int64)[None, :]
     vn = ni < N[:, None]
     patn = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + ni,
                       len(sym.sn_rows) - 1)
     q = sym.sn_rows[patn]
-    tgt_cpos = np.where(vn, q - first_col[s][:, None], -1)
+    tgt_cpos = np.where(vn, q - first_col[s][:, None] - cmin[:, None], -1)
     flops = float(2.0 * (M.astype(float) * N * K).sum())
     i32 = np.int32
     arrs = _pad_batch([K, src_row_start, tgt_row_start, tgt_cpos],

@@ -55,6 +55,15 @@ class Config:
     stride_padding: bool = False      # pad panel storage stride to the class
     #                                   grid (windows==stride; measured slower
     #                                   on the XLA path, kept for Pallas)
+    update_windowing: bool = False    # expand/scatter updates only over the
+    #                                   [cmin, cmax] target-column span
+    #                                   (smaller one-hot + 4x less scatter
+    #                                   traffic, but more shape classes ->
+    #                                   more calls); ignored if stride_padding
+    max_pad_ratio: float = 0.0        # >0: cap each batch quantum at
+    #                                   pad_pow2(ratio * class population),
+    #                                   bounding dead padded work per call at
+    #                                   the cost of extra jit signatures
 
     # ---- numeric --------------------------------------------------------
     dtype: str = "float32"          # device compute dtype

@@ -114,3 +114,20 @@ def test_host_and_device_solve_agree():
     xh = f._solve_host(b)
     xd = f._solve_device(b)
     assert np.abs(xh - np.asarray(xd)).max() < 1e-11
+
+
+@pytest.mark.parametrize("cfg", [
+    Config(dtype="float64", ordering="nd", update_windowing=True),
+    Config(dtype="float64", ordering="nd", max_pad_ratio=4.0),
+    Config(dtype="float64", ordering="nd", update_windowing=True,
+           max_pad_ratio=2.0),
+])
+def test_windowed_and_pad_bounded_plans_match(cfg):
+    """Column-windowed updates and pad-ratio-bounded quanta are pure plan
+    transformations: the factor must be bit-comparable to the default plan."""
+    A = generate.laplacian_3d(7)
+    ref = cholesky(A, Config(dtype="float64", ordering="nd"))
+    alt = cholesky(A, cfg)
+    Lr = ref.L_sparse().toarray()
+    La = alt.L_sparse().toarray()
+    np.testing.assert_allclose(La, Lr, rtol=1e-13, atol=1e-13)
