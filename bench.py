@@ -34,6 +34,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync(arr) -> float:
+    """Force completion with a dependent host fetch of one element.
+
+    block_until_ready() has been observed to return before compute completes
+    on tunneled backends (axon), which silently turns wall-clock timing into
+    enqueue timing; fetching a data-dependent element cannot lie."""
+    return float(np.asarray(arr[tuple(0 for _ in arr.shape)]).real)
+
+
 def measure_roofline(dtype, precision) -> float:
     """Measured dense-matmul speed of light at the solver's precision."""
     m = 4096
@@ -44,13 +53,13 @@ def measure_roofline(dtype, precision) -> float:
     def mm(a, b):
         return jnp.dot(a, b, precision=precision)
 
-    mm(a, b).block_until_ready()
+    sync(mm(a, b))
     reps = 8
     t0 = time.perf_counter()
     out = a
     for _ in range(reps):
         out = mm(out, b)
-    out.block_until_ready()
+    sync(out)
     dt = (time.perf_counter() - t0) / reps
     return 2.0 * m**3 / dt / 1e9
 
@@ -87,7 +96,7 @@ def main():
     t0 = time.perf_counter()
     f = ctx.factorize(A)
     arr = f.L if kind == "chol" else f.Lx
-    arr.block_until_ready()
+    sync(arr)
     log(f"first factorize (compile+run): {time.perf_counter() - t0:.2f}s")
 
     best = float("inf")
@@ -95,7 +104,7 @@ def main():
         t0 = time.perf_counter()
         f = ctx.factorize(A)
         arr = f.L if kind == "chol" else f.Lx
-        arr.block_until_ready()
+        sync(arr)
         dt = time.perf_counter() - t0
         best = min(best, dt)
         log(f"rep {i}: {dt:.3f}s  {ctx.plan.flops / dt / 1e9:.1f} GFLOP/s")

@@ -42,8 +42,11 @@ def _syrk_gemm_kernel(a_ref, b_ref, s_ref, g_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("slab",))
-def syrk_gemm_batched(A, B, slab: int = 64):
-    """A: (batch, n, k), B: (batch, m, k) -> (S, G). batch % slab == 0."""
+def syrk_gemm_batched(A, B, slab: int = 32):
+    """A: (batch, n, k), B: (batch, m, k) -> (S, G). batch % slab == 0.
+
+    slab bounds VMEM residency: in+out tiles must fit the ~16MB scoped
+    limit (slab=64 at n=m=64 OOMs on v5e: 16.29M > 16M)."""
     bt, n, k = A.shape
     m = B.shape[1]
     grid = (bt // slab,)
@@ -82,15 +85,23 @@ def _chol_lanes_kernel(d_ref, l_ref):
     A = d_ref[...]                       # (slab, c, c)
 
     def col(j, A):
-        piv = jax.lax.rsqrt(A[:, j, j])[:, None]          # (slab, 1)
-        colj = A[:, :, j] * piv                           # (slab, c)
+        # extract column j with a one-hot contraction (Mosaic cannot lower a
+        # dynamic lane index like A[:, :, j] / A.at[:, :, j].set)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+        onehot = (lane == j).astype(A.dtype)              # (1, 1, c)
+        Acolj = jnp.sum(A * onehot, axis=2)               # (slab, c)
+        piv = jax.lax.rsqrt(jnp.sum(Acolj
+                                    * (jax.lax.broadcasted_iota(
+                                        jnp.int32, (1, c), 1) == j), axis=1))
+        colj = Acolj * piv[:, None]                       # (slab, c)
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         colj = jnp.where(idx >= j, colj, 0.0)
         # rank-1 update of the trailing block only (cols > j): finished
         # columns must not be touched again
         ucolj = jnp.where(idx > j, colj, 0.0)
         A = A - colj[:, :, None] * ucolj[:, None, :]
-        A = A.at[:, :, j].set(colj)
+        # write column j back via one-hot select
+        A = jnp.where(onehot > 0, colj[:, :, None], A)
         return A
 
     A = jax.lax.fori_loop(0, c, col, A)
