@@ -32,6 +32,8 @@ def save_factor(path: str, factor) -> None:
     if hasattr(factor, "Ux"):
         data["Lx"] = np.asarray(factor.Lx)
         data["Ux"] = np.asarray(factor.Ux)
+        if getattr(factor, "row_perm", None) is not None:
+            data["row_perm"] = factor.row_perm
     else:
         data["L"] = np.asarray(factor.L)
     np.savez_compressed(path, **data)
@@ -59,7 +61,9 @@ def load_factor(path: str, config=None):
     A = sp.csc_matrix((z["A_data"], z["A_indices"], z["A_indptr"]),
                       shape=(n, n))
     config = config or Config(dtype=str(z["dtype"]))
-    plan = build_plan(sym, A, config, lu=(kind == "lu"))
+    row_perm = z["row_perm"] if "row_perm" in z.files else None
+    Aplan = A if row_perm is None else sp.csc_matrix(A[row_perm])
+    plan = build_plan(sym, Aplan, config, lu=(kind == "lu"))
     if plan.xsize != int(z["xsize"]):
         raise ValueError("stored factor layout does not match this config "
                          f"(xsize {z['xsize']} vs {plan.xsize}); save/load "
@@ -67,6 +71,6 @@ def load_factor(path: str, config=None):
     if kind == "lu":
         from spfx.lu.factorize import LUFactor
         return LUFactor(A, sym, plan, jnp.asarray(z["Lx"]),
-                        jnp.asarray(z["Ux"]), config)
+                        jnp.asarray(z["Ux"]), config, row_perm=row_perm)
     from spfx.chol.factorize import CholeskyFactor
     return CholeskyFactor(A, sym, plan, jnp.asarray(z["L"]), config)

@@ -35,7 +35,8 @@ class LUFactor:
     """Factorized P A P^T = L U (unit-diagonal L, no pivoting)."""
 
     def __init__(self, A: sp.spmatrix, sym: Symbolic, plan: FactorPlan,
-                 Lx: jax.Array, Ux: jax.Array, config: Config, solver=None):
+                 Lx: jax.Array, Ux: jax.Array, config: Config, solver=None,
+                 row_perm: np.ndarray | None = None):
         self.A = sp.csc_matrix(A)
         self.sym = sym
         self.plan = plan
@@ -43,6 +44,11 @@ class LUFactor:
         self.Ux = Ux
         self.config = config
         self._solver = solver
+        # static pivot row permutation (Config.static_pivot): the factor is
+        # of B = A[row_perm], so solves permute b on the way in; A is kept
+        # unpermuted so refinement/validation run against the user's matrix.
+        self.row_perm = row_perm
+        self._inperm = sym.perm if row_perm is None else row_perm[sym.perm]
 
     def _use_host_solve(self) -> bool:
         from spfx.symbolic import _native
@@ -65,7 +71,7 @@ class LUFactor:
         b2 = np.asarray(b, dtype=np.float64).reshape(n, -1)
         out = np.empty_like(b2)
         for j in range(b2.shape[1]):
-            x = np.ascontiguousarray(b2[self.sym.perm, j])
+            x = np.ascontiguousarray(b2[self._inperm, j])
             _native.lu_solve_host(self.sym, self.plan, self._Lh, self._Uh, x)
             out[self.sym.perm, j] = x
         return out[:, 0] if squeeze else out
@@ -76,7 +82,7 @@ class LUFactor:
         b2 = b.reshape(n, -1)
         dtype = self.Lx.dtype
         xp = np.zeros((n + 1, b2.shape[1]), dtype=dtype)
-        xp[:n] = b2[self.sym.perm]
+        xp[:n] = b2[self._inperm]
         x = jnp.asarray(xp)
         with jax.default_matmul_precision(self.config.matmul_precision):
             if self.config.fused:
@@ -161,6 +167,12 @@ class LU:
         A = sp.csc_matrix(A)
         self.config = config
         t0 = time.perf_counter()
+        if config.static_pivot:
+            from spfx.lu.pivot import static_pivot
+            self.row_perm = static_pivot(A)
+            A = sp.csc_matrix(A[self.row_perm])
+        else:
+            self.row_perm = None
         self.sym = sym if sym is not None else analyze(A, config,
                                                        symmetrize=True)
         self.analyze_time = time.perf_counter() - t0
@@ -172,6 +184,9 @@ class LU:
 
     def factorize(self, A: sp.spmatrix) -> LUFactor:
         A = sp.csc_matrix(A)
+        Araw = A
+        if self.row_perm is not None:
+            A = sp.csc_matrix(A[self.row_perm])
         dtype = jnp.dtype(self.config.dtype)
         Ap = A[self.sym.perm][:, self.sym.perm]
         low = sp.tril(Ap).tocsc()
@@ -201,8 +216,8 @@ class LU:
                         d = pb.dev()
                         Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0], d[1],
                                                          d[2])
-        return LUFactor(A, self.sym, self.plan, Lx, Ux, self.config,
-                        solver=self._solver)
+        return LUFactor(Araw, self.sym, self.plan, Lx, Ux, self.config,
+                        solver=self._solver, row_perm=self.row_perm)
 
 
 def lu(A: sp.spmatrix, config: Config = DEFAULT) -> LUFactor:

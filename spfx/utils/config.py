@@ -73,6 +73,12 @@ class Config:
     matmul_precision: str = "highest"
     refine_iters: int = 3           # f64 iterative-refinement sweeps on solve
     refine_tol: float = 1e-12       # stop refinement below this scaled resid
+    # Static pivoting (LU only): compute a greedy max-magnitude row matching
+    # on the host and factor the row-permuted matrix. The reference ships
+    # this routine disabled (LU/Source/SparseFrame.c:589-673, call #if 0'd
+    # at :784-787); here it is an opt-in preprocessing step for matrices
+    # that are not diagonally dominant.
+    static_pivot: bool = False
     # Solve backend: "host" runs the native C++ supernodal solve in f64 on
     # the copied-back factor (single-RHS latency path, no device compiles);
     # "device" runs the level-batched TPU solves (many-RHS throughput path);

@@ -51,3 +51,21 @@ def test_pattern_field(tmp_path):
                  "2 2 2\n1 1\n2 1\n")
     A = read_matrix(p)
     assert A[0, 0] == 1.0 and A[1, 0] == 1.0
+
+
+def test_cli_driver(tmp_path, capsys):
+    """python -m spfx <mtx files>: full pipeline + residual gate."""
+    import spfx.__main__ as cli
+    from spfx.io import generate, matrix_market
+
+    spd = tmp_path / "spd.mtx"
+    matrix_market.write_matrix(str(spd), generate.laplacian_2d(7),
+                               symmetric=True)
+    uns = tmp_path / "unsym.mtx"
+    matrix_market.write_matrix(str(uns), generate.random_unsym(40, 0.1, 1))
+    rc = cli.main([str(spd), str(uns), "--save-factor", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "engine=chol" in out and "engine=lu" in out
+    assert out.count("residual") == 2
+    assert (tmp_path / "spd.mtx.factor.npz").exists()

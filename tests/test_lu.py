@@ -93,3 +93,45 @@ def test_lu_host_and_device_solve_agree():
     xh = f._solve_host(b)
     xd = f._solve_device(b)
     assert np.abs(xh - np.asarray(xd)).max() < 1e-11
+
+
+def test_static_pivot_permutation():
+    from spfx.lu.pivot import static_pivot, diag_dominance
+    rng = np.random.default_rng(3)
+    A = generate.random_unsym(80, density=0.06, seed=13)
+    # scramble the rows: diagonal is no longer dominant (or even present)
+    scram = rng.permutation(80)
+    B = sp.csc_matrix(A[scram])
+    rperm = static_pivot(B)
+    assert sorted(rperm) == list(range(80))
+    assert diag_dominance(B[rperm]) > diag_dominance(B)
+    # greedy matching must fully restore the scrambled dominant diagonal
+    assert diag_dominance(sp.csc_matrix(B[rperm])) == pytest.approx(
+        diag_dominance(A))
+
+
+def test_lu_static_pivot_solves_scrambled():
+    rng = np.random.default_rng(4)
+    A = generate.random_unsym(90, density=0.06, seed=14)
+    B = sp.csc_matrix(A[rng.permutation(90)])   # kills the no-pivot contract
+    b = synth_rhs(B)
+    f = lu(B, Config(dtype="float64", ordering="nd", static_pivot=True))
+    x = f.solve(b, refine=0)
+    assert scaled_residual(B, x, b) < 1e-12
+    # refinement path runs against the unpermuted user matrix
+    xr = f.solve(b)
+    assert scaled_residual(B, xr, b) < 1e-14
+
+
+def test_lu_static_pivot_checkpoint_roundtrip(tmp_path):
+    from spfx.checkpoint import save_factor, load_factor
+    rng = np.random.default_rng(5)
+    A = generate.random_unsym(60, density=0.08, seed=15)
+    B = sp.csc_matrix(A[rng.permutation(60)])
+    cfg = Config(dtype="float64", ordering="nd", static_pivot=True)
+    f = lu(B, cfg)
+    p = str(tmp_path / "f.npz")
+    save_factor(p, f)
+    g = load_factor(p, cfg)
+    b = synth_rhs(B)
+    assert scaled_residual(B, g.solve(b), b) < 1e-14
