@@ -75,7 +75,10 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
-    config = Config(dtype="float32", ordering="nd", matmul_precision="highest")
+    config = Config(
+        dtype="float32", ordering="nd", matmul_precision="highest",
+        class_min=int(os.environ.get("SPFX_CLASS_MIN", "8")),
+        update_precision=os.environ.get("SPFX_UPDATE_PRECISION") or None)
 
     A = generate.laplacian_3d(grid)
     n = A.shape[0]

@@ -198,12 +198,16 @@ class Cholesky:
                         calls_per_chunk=self.config.calls_per_chunk)
                 L = self._runner.run(L)
             else:
+                upd_prec = self.config.update_precision \
+                    or self.config.matmul_precision
                 for lp in self.plan.levels:
                     # left-looking: drain this level's pending updates, then
                     # factor its panels
-                    for ub in lp.updates:
-                        L = blocks.apply_updates_sym(L, *ub.dev(),
-                                                     kp=ub.kp, csp=ub.csp)
+                    with jax.default_matmul_precision(upd_prec):
+                        for ub in lp.updates:
+                            L = blocks.apply_updates_sym(L, *ub.dev(),
+                                                         kp=ub.kp,
+                                                         csp=ub.csp)
                     for pb in lp.panels:
                         d = pb.dev()
                         L = blocks.factor_panels_chol(L, d[0], d[1], d[2])

@@ -208,10 +208,13 @@ class LU:
                         calls_per_chunk=self.config.calls_per_chunk)
                 Lx, Ux = self._runner.run(Lx, Ux)
             else:
+                upd_prec = self.config.update_precision \
+                    or self.config.matmul_precision
                 for lp in self.plan.levels:
-                    for ub in lp.updates:
-                        Lx, Ux = blocks.apply_updates_lu(
-                            Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
+                    with jax.default_matmul_precision(upd_prec):
+                        for ub in lp.updates:
+                            Lx, Ux = blocks.apply_updates_lu(
+                                Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
                     for pb in lp.panels:
                         d = pb.dev()
                         Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0], d[1],

@@ -205,7 +205,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         sns = order[np.searchsorted(lvl_sorted, lv):
                     np.searchsorted(lvl_sorted, lv, side="right")]
         w, r = W[sns], R[sns]
-        pkeys = np.stack([[_pad2(int(a), lo), _pad2(b, lo)]
+        clo = max(lo, config.class_min)
+        pkeys = np.stack([[_pad2(int(a), clo), _pad2(b, clo)]
                           for a, b in zip(Wp[sns], r - w)]) \
             if len(sns) else np.zeros((0, 2), np.int64)
         for key in (np.unique(pkeys, axis=0) if len(sns) else []):
@@ -259,20 +260,21 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         t_cmax = sym.sn_rows[sym.sn_ptr[t_d] + t_lpos + t_N - 1] \
             - first_col[t_s]
         t_span = t_cmax - t_cmin + 1
+        clo = max(lo, config.class_min)
         if config.stride_padding:
             kcls = list(Wp[t_d])        # K class == source storage stride
             ccls = list(Wp[t_s])        # Csp class == target storage stride
             t_cmin = np.zeros_like(t_cmin)
         elif config.update_windowing:
-            kcls = [padf(a, lo) for a in t_K]
-            ccls = [padf(a, lo) for a in t_span]
+            kcls = [padf(a, clo) for a in t_K]
+            ccls = [padf(a, clo) for a in t_span]
         else:
-            kcls = [padf(a, lo) for a in t_K]
-            ccls = [padf(a, lo) for a in W[t_s]]
+            kcls = [padf(a, clo) for a in t_K]
+            ccls = [padf(a, clo) for a in W[t_s]]
             t_cmin = np.zeros_like(t_cmin)
         t_pad = np.stack([
-            [padf(a, lo) for a in t_M],
-            [padf(a, lo) for a in t_N],
+            [padf(a, clo) for a in t_M],
+            [padf(a, clo) for a in t_N],
             kcls, ccls], axis=1)
         for lv in range(nlev):
             in_lv = np.flatnonzero(t_level == lv)

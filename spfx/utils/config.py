@@ -52,6 +52,11 @@ class Config:
     class_granularity: str = "pow4"   # update shape-class padding: "pow4"
     #                                   (fewer classes -> fewer calls) or
     #                                   "pow2" (less padding waste)
+    class_min: int = 8                # smallest shape class: raising it to
+    #                                   32 collapses the tiny-task classes
+    #                                   (near-zero FLOPs, ~40% of all calls
+    #                                   at 48^3) into one, trading dead
+    #                                   padded lanes for dispatches
     stride_padding: bool = False      # pad panel storage stride to the class
     #                                   grid (windows==stride; measured slower
     #                                   on the XLA path, kept for Pallas)
@@ -71,6 +76,12 @@ class Config:
     # direct solvers need "highest" (bf16x6) or "float32" for f32-grade
     # factors. Iterative refinement then recovers f64-grade solves.
     matmul_precision: str = "highest"
+    # Precision for descendant-update GEMMs only (None -> matmul_precision).
+    # The update products carry ~85% of the FLOPs; running them at "high"
+    # (bf16x3) while panel factorization stays at matmul_precision halves
+    # their MXU passes, and the f64 refinement sweeps absorb the extra
+    # ~1e-6 relative error in the factor.
+    update_precision: Optional[str] = None
     refine_iters: int = 3           # f64 iterative-refinement sweeps on solve
     refine_tol: float = 1e-12       # stop refinement below this scaled resid
     # Static pivoting (LU only): compute a greedy max-magnitude row matching

@@ -131,3 +131,32 @@ def test_windowed_and_pad_bounded_plans_match(cfg):
     Lr = ref.L_sparse().toarray()
     La = alt.L_sparse().toarray()
     np.testing.assert_allclose(La, Lr, rtol=1e-13, atol=1e-13)
+
+
+def test_class_min_coarse_classes():
+    """class_min=32 must collapse tiny shape classes without changing
+    results; call count must strictly drop on a multi-class problem."""
+    from spfx.chol.factorize import Cholesky
+    A = generate.laplacian_3d(7)
+    b = synth_rhs(A)
+    fine = Cholesky(A, Config(dtype="float64", ordering="nd"))
+    coarse = Cholesky(A, Config(dtype="float64", ordering="nd",
+                                class_min=32))
+    ncalls = lambda c: sum(len(l.panels) + len(l.updates)
+                           for l in c.plan.levels)
+    assert ncalls(coarse) < ncalls(fine)
+    xf = fine.factorize(A).solve(b, refine=0)
+    xc = coarse.factorize(A).solve(b, refine=0)
+    assert scaled_residual(A, xc, b) < 1e-12
+    assert np.allclose(xf, xc, atol=1e-9)
+
+
+def test_update_precision_knob():
+    """update_precision is a TPU MXU knob; on CPU it must be a no-op
+    numerically but still exercise the split-precision code path."""
+    from spfx.chol.factorize import Cholesky
+    A = generate.laplacian_2d(9)
+    b = synth_rhs(A)
+    f = Cholesky(A, Config(dtype="float32", ordering="nd",
+                           update_precision="high")).factorize(A)
+    assert scaled_residual(A, f.solve(b), b) < 1e-12
