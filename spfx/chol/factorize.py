@@ -176,16 +176,20 @@ class Cholesky:
         self.plan_time = time.perf_counter() - t0
         self._runner = None
         self._solver = None
+        self._asm_idx = None
 
     def factorize(self, A: sp.spmatrix) -> CholeskyFactor:
         A = sp.csc_matrix(A)
         dtype = jnp.dtype(self.config.dtype)
         # assembly (ref loadA): permute, take lower, scatter into flat panels
+        # on device — only the nnz values cross the host->device link
         Ap = A[self.sym.perm][:, self.sym.perm]
         low = sp.tril(Ap).tocsc()
-        L0 = np.zeros(self.plan.storage, dtype=dtype)
-        L0[self.plan.assembly_idx] = low.data
-        L = jnp.asarray(L0)
+        if self._asm_idx is None:
+            self._asm_idx = jnp.asarray(
+                self.plan.assembly_idx.astype(np.int32))
+        L = blocks.assemble(self._asm_idx, jnp.asarray(low.data.astype(dtype)),
+                            self.plan.storage)
         with jax.default_matmul_precision(self.config.matmul_precision):
             if self.config.fused:
                 if self._runner is None:

@@ -61,6 +61,15 @@ def _col_mask(widths, cp, dtype):
     return (jnp.arange(cp)[None, :] < widths[:, None]).astype(dtype)
 
 
+@partial(jax.jit, static_argnames=("storage",))
+def assemble(idx, vals, storage: int):
+    """Device-side assembly (ref loadA :1998-2028): scatter the permuted
+    lower-triangle entry values into a fresh flat panel array. Only the nnz
+    values cross the host->device link; the index vector is a plan constant
+    cached on device."""
+    return jnp.zeros((storage,), dtype=vals.dtype).at[idx].set(vals)
+
+
 # --------------------------------------------------------------------------
 # Cholesky panel: L11 = chol(D); L21 = B @ L11^{-T}
 # (ref dpotrf+dtrsm panel, :2134-2145 CPU / :2795-2837 GPU)

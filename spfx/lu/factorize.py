@@ -181,6 +181,7 @@ class LU:
         self.plan_time = time.perf_counter() - t0
         self._runner = None
         self._solver = None
+        self._asm_idx = None
 
     def factorize(self, A: sp.spmatrix) -> LUFactor:
         A = sp.csc_matrix(A)
@@ -191,11 +192,16 @@ class LU:
         Ap = A[self.sym.perm][:, self.sym.perm]
         low = sp.tril(Ap).tocsc()
         upt = sp.tril(Ap.T, -1).tocsc()
-        L0 = np.zeros(self.plan.storage, dtype=dtype)
-        U0 = np.zeros(self.plan.storage, dtype=dtype)
-        L0[self.plan.assembly_idx] = low.data
-        U0[self.plan.assembly_idx_u] = upt.data
-        Lx, Ux = jnp.asarray(L0), jnp.asarray(U0)
+        if self._asm_idx is None:
+            self._asm_idx = (
+                jnp.asarray(self.plan.assembly_idx.astype(np.int32)),
+                jnp.asarray(self.plan.assembly_idx_u.astype(np.int32)))
+        Lx = blocks.assemble(self._asm_idx[0],
+                             jnp.asarray(low.data.astype(dtype)),
+                             self.plan.storage)
+        Ux = blocks.assemble(self._asm_idx[1],
+                             jnp.asarray(upt.data.astype(dtype)),
+                             self.plan.storage)
         with jax.default_matmul_precision(self.config.matmul_precision):
             if self.config.fused:
                 if self._runner is None:
