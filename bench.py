@@ -10,10 +10,18 @@ speed-of-light (same matmul precision as the solver), i.e. the
 fraction-of-roofline number BASELINE.md tracks. The reference publishes no
 numbers of its own (SURVEY.md §6), so roofline fraction is the baseline axis.
 
+Measurement protocol (tunnel-proof): the chip is reached through a tunnel
+whose per-dispatch round trip has been observed anywhere from 55us to 1.8s
+depending on contention. Every timed quantity is therefore measured as a
+SLOPE between two in-jit repetition counts of a single-dispatch program
+(the mega engine runs the whole factorization as one lax.scan; rep count is
+a traced scalar), which cancels all constant per-dispatch overhead exactly.
+Single-shot wall latency is logged alongside for reference.
+
 Knobs (env):
   SPFX_BENCH_GRID   3D grid edge (default 48 -> n=110592)
   SPFX_BENCH_KIND   chol | lu (default chol)
-  SPFX_BENCH_REPS   timed repetitions (default 3)
+  SPFX_BENCH_REPS   slope repetition count (default 4)
 """
 
 import json
@@ -28,6 +36,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def log(*a):
@@ -43,31 +52,37 @@ def sync(arr) -> float:
     return float(np.asarray(arr[tuple(0 for _ in arr.shape)]).real)
 
 
+def sync_sum(arr) -> float:
+    """Like sync() but data-dependent on EVERY element."""
+    return float(np.asarray(jnp.sum(arr)).real)
+
+
 def measure_roofline(dtype, precision) -> float:
-    """Measured dense-matmul speed of light at the solver's precision."""
+    """Measured dense-matmul speed of light at the solver's precision,
+    via the same two-point slope protocol (dynamic in-jit rep count)."""
     m = 4096
     a = jnp.ones((m, m), dtype=dtype)
     b = jnp.ones((m, m), dtype=dtype)
 
     @jax.jit
-    def mm(a, b):
-        return jnp.dot(a, b, precision=precision)
+    def mm_rep(reps, a, b):
+        return lax.fori_loop(
+            0, reps, lambda i, x: jnp.dot(x, b, precision=precision), a)
 
-    sync(mm(a, b))
-    reps = 8
-    t0 = time.perf_counter()
-    out = a
-    for _ in range(reps):
-        out = mm(out, b)
-    sync(out)
-    dt = (time.perf_counter() - t0) / reps
+    sync(mm_rep(jnp.int32(2), a, b))        # compile
+    t = {}
+    for r in (4, 20):
+        t0 = time.perf_counter()
+        sync(mm_rep(jnp.int32(r), a, b))
+        t[r] = time.perf_counter() - t0
+    dt = max(t[20] - t[4], 1e-9) / 16
     return 2.0 * m**3 / dt / 1e9
 
 
 def main():
     grid = int(os.environ.get("SPFX_BENCH_GRID", "48"))
     kind = os.environ.get("SPFX_BENCH_KIND", "chol")
-    reps = int(os.environ.get("SPFX_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPFX_BENCH_REPS", "4"))
 
     from spfx.io import generate
     from spfx.utils.config import Config
@@ -77,6 +92,7 @@ def main():
     log(f"device: {dev} platform={dev.platform}")
     config = Config(
         dtype="float32", ordering="nd", matmul_precision="highest",
+        engine="mega",
         class_min=int(os.environ.get("SPFX_CLASS_MIN", "8")),
         update_precision=os.environ.get("SPFX_UPDATE_PRECISION") or None)
 
@@ -84,7 +100,6 @@ def main():
     n = A.shape[0]
     log(f"matrix: 3D Poisson {grid}^3, n={n}, nnz={A.nnz}")
 
-    t0 = time.perf_counter()
     if kind == "lu":
         from spfx.lu.factorize import LU as Ctx
     else:
@@ -95,24 +110,37 @@ def main():
         f"nnzL={ctx.sym.nnzL} flops={ctx.plan.flops:.3e} "
         f"storage={ctx.plan.storage * 4 / 1e6:.1f}MB")
 
-    # warmup (includes all jit compiles)
+    # warmup factorize (compiles the single-dispatch mega program)
     t0 = time.perf_counter()
     f = ctx.factorize(A)
     arr = f.L if kind == "chol" else f.Lx
     sync(arr)
     log(f"first factorize (compile+run): {time.perf_counter() - t0:.2f}s")
 
-    best = float("inf")
-    for i in range(reps):
-        t0 = time.perf_counter()
-        f = ctx.factorize(A)
-        arr = f.L if kind == "chol" else f.Lx
-        sync(arr)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        log(f"rep {i}: {dt:.3f}s  {ctx.plan.flops / dt / 1e9:.1f} GFLOP/s")
+    # single-shot wall latency (1 dispatch + 1 fetch round trip)
+    t0 = time.perf_counter()
+    f = ctx.factorize(A)
+    arr = f.L if kind == "chol" else f.Lx
+    sync(arr)
+    t_single = time.perf_counter() - t0
+    log(f"single-shot factorize (dispatch+fetch): {t_single:.3f}s "
+        f"({ctx.plan.flops / t_single / 1e9:.1f} GFLOP/s incl. round trip)")
 
-    gflops = ctx.plan.flops / best / 1e9
+    # slope timing: (reps+1 factorizations) - (1 factorization), in-jit
+    vals = ctx.entry_values(A)
+    runner = ctx._runner
+    sync_sum(runner.run_repeat(1, *vals)[0] if kind == "lu"
+             else runner.run_repeat(1, *vals))    # compile rep program
+    t = {}
+    for r in (1, 1 + reps):
+        t0 = time.perf_counter()
+        out = runner.run_repeat(r, *vals)
+        sync_sum(out[0] if kind == "lu" else out)
+        t[r] = time.perf_counter() - t0
+        log(f"run_repeat({r}): {t[r]:.3f}s")
+    dt = max(t[1 + reps] - t[1], 1e-9) / reps
+    gflops = ctx.plan.flops / dt / 1e9
+    log(f"slope per-factorize: {dt:.3f}s  {gflops:.1f} GFLOP/s (device)")
 
     # correctness gate (reference-style residual, :3262) + solve timing
     b = synth_rhs(A)

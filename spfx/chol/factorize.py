@@ -2,11 +2,13 @@
 
 TPU-era re-design of the reference numeric layer
 (SparseFrame_factorize_supernodal, Cholesky/Source/SparseFrame.c:2150-3017):
-the dynamic OpenMP worker pool over a leaf queue becomes a Python loop over
-precompiled levels, each level a handful of batched XLA/Pallas kernel calls
-(factor panels, then generate all updates those panels owe their ancestors).
-Assembly (ref loadA :1998-2028) is a single host scatter through the plan's
-precomputed index map before the level loop starts.
+the dynamic OpenMP worker pool over a leaf queue becomes a static schedule of
+batched XLA kernels. The default engine ("mega", spfx.kernels.mega) compiles
+the WHOLE schedule — device-side assembly scatter (ref loadA :1998-2028,
+values-only host->device transfer, cached index map) plus every level's
+update and panel buckets — into one jitted lax.scan, i.e. exactly one
+dispatch per factorization; engine="calls" runs one donated jit call per
+bucket instead.
 """
 
 from __future__ import annotations
@@ -80,8 +82,16 @@ class CholeskyFactor:
         xp = np.zeros((n + 1, b2.shape[1]), dtype=dtype)
         xp[:n] = b2[self.sym.perm]
         x = jnp.asarray(xp)
+        engine = "fused" if self.config.fused else self.config.engine
         with jax.default_matmul_precision(self.config.matmul_precision):
-            if self.config.fused:
+            if engine == "mega":
+                if self._solver is None:
+                    from spfx.kernels.mega import MegaSolver
+                    self._solver = MegaSolver(self.plan, lu=False,
+                                              config=self.config)
+                x = self._solver.forward(self.L, x)
+                x = self._solver.backward(self.L, x)
+            elif engine == "fused":
                 if self._solver is None:
                     from spfx.kernels.fused import FusedSolver
                     self._solver = FusedSolver(
@@ -178,20 +188,36 @@ class Cholesky:
         self._solver = None
         self._asm_idx = None
 
+    def entry_values(self, A: sp.spmatrix) -> tuple:
+        """Permuted lower-triangle entry values — the only data that crosses
+        the host->device link per factorization (assembly index maps are
+        plan constants cached on device)."""
+        dtype = jnp.dtype(self.config.dtype)
+        Ap = sp.csc_matrix(A)[self.sym.perm][:, self.sym.perm]
+        low = sp.tril(Ap).tocsc()
+        return (jnp.asarray(low.data.astype(dtype)),)
+
     def factorize(self, A: sp.spmatrix) -> CholeskyFactor:
         A = sp.csc_matrix(A)
-        dtype = jnp.dtype(self.config.dtype)
         # assembly (ref loadA): permute, take lower, scatter into flat panels
         # on device — only the nnz values cross the host->device link
-        Ap = A[self.sym.perm][:, self.sym.perm]
-        low = sp.tril(Ap).tocsc()
+        (vals,) = self.entry_values(A)
+        engine = "fused" if self.config.fused else self.config.engine
+        if engine == "mega":
+            # whole schedule (assembly included) = ONE dispatch
+            if self._runner is None:
+                from spfx.kernels.mega import MegaRunner
+                self._runner = MegaRunner(self.plan, lu=False,
+                                          config=self.config)
+            L = self._runner.run(vals)
+            return CholeskyFactor(A, self.sym, self.plan, L, self.config,
+                                  solver=self._solver)
         if self._asm_idx is None:
             self._asm_idx = jnp.asarray(
                 self.plan.assembly_idx.astype(np.int32))
-        L = blocks.assemble(self._asm_idx, jnp.asarray(low.data.astype(dtype)),
-                            self.plan.storage)
+        L = blocks.assemble(self._asm_idx, vals, self.plan.storage)
         with jax.default_matmul_precision(self.config.matmul_precision):
-            if self.config.fused:
+            if engine == "fused":
                 if self._runner is None:
                     from spfx.kernels.fused import FusedRunner, FusedSolver
                     self._runner = FusedRunner(

@@ -1,0 +1,328 @@
+"""Single-dispatch numeric engine: the ENTIRE static factorization schedule
+compiled as one XLA program.
+
+Why this exists: the reference hides per-task launch latency with CUDA
+streams and busy-polled events (Cholesky/Source/SparseFrame.c:2514-2523).
+The TPU-native answer is stronger — compile the whole schedule into a single
+``lax.scan`` so there is exactly ONE host->device dispatch per factorization,
+making throughput independent of host/tunnel round-trip latency (measured
+55us..1.8s per call depending on link contention; a 48^3 Poisson factorize
+is ~1.8k bucket tasks, i.e. minutes of pure dispatch at the slow end).
+
+Structure:
+- every bucket in the plan (see spfx.plan.schedule) belongs to a *class*
+  keyed by its static padded shapes + batch size;
+- per class, the bucket index arrays are stacked into one table;
+- the schedule becomes a flat step list (class_id, chunk_index), executed by
+  ``lax.scan`` whose body is a ``lax.switch`` over one traced branch per
+  class (each branch = the same batched gather->MXU->scatter bucket kernel
+  as the per-call engine in spfx.kernels.blocks);
+- assembly (ref loadA :1998-2028) is folded into the same program: the
+  factorization input is just the permuted lower-triangle value vector.
+
+Compiled size is O(#classes) (tens of branches), not O(#steps) (thousands),
+so the program compiles once in seconds and caches persistently; the factor
+array is the scan carry, which XLA buffer assignment keeps in place (unlike
+a fully unrolled graph, where overlapping live ranges force copies — the
+round-1 "fused chunk" path measured 3-5x slower for exactly that reason).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from spfx.kernels import blocks
+
+
+def _stack(arrs: List[np.ndarray]) -> np.ndarray:
+    return np.stack(arrs, axis=0)
+
+
+def _take(tabs, i):
+    """Row i of every stacked class table (device)."""
+    return tuple(lax.dynamic_index_in_dim(t, i, 0, keepdims=False)
+                 for t in tabs)
+
+
+def _collect(plan, solve_only: bool = False):
+    """Walk levels in execution order; group buckets into classes.
+
+    Returns (classes, cls_ids, chunk_ids) where classes is a list of
+    dicts {kind, static, tables(list of stacked host arrays)}.
+    """
+    key_to_cid = {}
+    classes = []
+    cls_ids, chunk_ids = [], []
+
+    def add(kind, key, static, host_arrays):
+        cid = key_to_cid.get(key)
+        if cid is None:
+            cid = len(classes)
+            key_to_cid[key] = cid
+            classes.append({"kind": kind, "static": static, "rows": []})
+        cls_ids.append(cid)
+        chunk_ids.append(len(classes[cid]["rows"]))
+        classes[cid]["rows"].append(host_arrays)
+
+    for lp in plan.levels:
+        if not solve_only:
+            for ub in lp.updates:
+                B = ub.kw.shape[0]
+                mp = ub.src_row_start.shape[1]
+                np_ = ub.tgt_cpos.shape[1]
+                add("U", ("U", B, mp, np_, ub.kp, ub.csp), (ub.kp, ub.csp),
+                    [ub.kw, ub.src_row_start, ub.tgt_row_start, ub.tgt_cpos])
+        for pb in lp.panels:
+            B = pb.widths.shape[0]
+            cp = pb.diag_row_start.shape[1]
+            rbp = pb.below_row_start.shape[1]
+            if solve_only:
+                add("P", ("P", B, cp, rbp), (),
+                    [pb.widths, pb.diag_row_start, pb.below_row_start,
+                     pb.xcols, pb.xrows])
+            else:
+                add("P", ("P", B, cp, rbp), (),
+                    [pb.widths, pb.diag_row_start, pb.below_row_start])
+
+    for c in classes:
+        c["tables"] = [_stack([r[i] for r in c["rows"]])
+                       for i in range(len(c["rows"][0]))]
+        del c["rows"]
+    return classes, np.asarray(cls_ids, np.int32), \
+        np.asarray(chunk_ids, np.int32)
+
+
+def _flatten_tables(classes):
+    flat, layout = [], []
+    for c in classes:
+        layout.append(len(c["tables"]))
+        flat.extend(jnp.asarray(t) for t in c["tables"])
+    return flat, layout
+
+
+def _unflatten(layout, flat):
+    out, k = [], 0
+    for n in layout:
+        out.append(tuple(flat[k:k + n]))
+        k += n
+    return out
+
+
+class MegaRunner:
+    """One-dispatch factorization for a FactorPlan (Cholesky or LU)."""
+
+    def __init__(self, plan, lu: bool = False, config=None):
+        from spfx.utils.config import DEFAULT
+        config = config or DEFAULT
+        self.lu = lu
+        self.plan = plan
+        self.storage = plan.storage
+        classes, cls_ids, chunk_ids = _collect(plan)
+        self._steps = (jnp.asarray(cls_ids), jnp.asarray(chunk_ids))
+        self._flat, self._layout = _flatten_tables(classes)
+        self._kinds = [(c["kind"], c["static"]) for c in classes]
+        self._asm = jnp.asarray(plan.assembly_idx.astype(np.int32))
+        if lu:
+            self._asm_u = jnp.asarray(plan.assembly_idx_u.astype(np.int32))
+        fac_prec = config.matmul_precision
+        upd_prec = config.update_precision or fac_prec
+        storage = self.storage
+
+        def branches(tabs_by_class):
+            brs = []
+            for (kind, static), tabs in zip(self._kinds, tabs_by_class):
+                if not lu:
+                    if kind == "U":
+                        kp, csp = static
+
+                        def br(L, i, tabs=tabs, kp=kp, csp=csp):
+                            kw, srs, trs, cpos = _take(tabs, i)
+                            with jax.default_matmul_precision(upd_prec):
+                                E = blocks.update_rows_sym(
+                                    L, kw, srs, cpos, kp, csp)
+                            return blocks._win_scatter_add(L, trs, -E)
+                    else:
+                        def br(L, i, tabs=tabs):
+                            w, drs, brs_ = _take(tabs, i)
+                            with jax.default_matmul_precision(fac_prec):
+                                dD, dB = blocks.panel_deltas_chol(
+                                    L, w, drs, brs_)
+                            L = blocks._win_scatter_add(L, drs, dD)
+                            return blocks._win_scatter_add(L, brs_, dB)
+                else:
+                    if kind == "U":
+                        kp, csp = static
+
+                        def br(carry, i, tabs=tabs, kp=kp, csp=csp):
+                            Lx, Ux = carry
+                            kw, srs, trs, cpos = _take(tabs, i)
+                            with jax.default_matmul_precision(upd_prec):
+                                EL, EU = blocks.update_rows_lu(
+                                    Lx, Ux, kw, srs, cpos, kp, csp)
+                            Lx = blocks._win_scatter_add(Lx, trs, -EL)
+                            Ux = blocks._win_scatter_add(Ux, trs, -EU)
+                            return Lx, Ux
+                    else:
+                        def br(carry, i, tabs=tabs):
+                            Lx, Ux = carry
+                            w, drs, brs_ = _take(tabs, i)
+                            with jax.default_matmul_precision(fac_prec):
+                                dDL, dBL, dDU, dBU = blocks.panel_deltas_lu(
+                                    Lx, Ux, w, drs, brs_)
+                            Lx = blocks._win_scatter_add(Lx, drs, dDL)
+                            Lx = blocks._win_scatter_add(Lx, brs_, dBL)
+                            Ux = blocks._win_scatter_add(Ux, drs, dDU)
+                            Ux = blocks._win_scatter_add(Ux, brs_, dBU)
+                            return Lx, Ux
+                brs.append(br)
+            return brs
+
+        layout = self._layout
+
+        if not lu:
+            def once(vals, asm, cls_ids, chunk_ids, flat):
+                tabs_by_class = _unflatten(layout, flat)
+                brs = branches(tabs_by_class)
+                L = jnp.zeros((storage,), dtype=vals.dtype).at[asm].set(vals)
+
+                def body(L, xs):
+                    c, i = xs
+                    return lax.switch(c, brs, L, i), None
+
+                if len(brs):
+                    L, _ = lax.scan(body, L, (cls_ids, chunk_ids))
+                return L
+
+            @jax.jit
+            def run(vals, asm, cls_ids, chunk_ids, *flat):
+                return once(vals, asm, cls_ids, chunk_ids, flat)
+
+            @jax.jit
+            def run_rep(reps, vals, asm, cls_ids, chunk_ids, *flat):
+                # `reps` back-to-back factorizations inside one dispatch
+                # (benchmark path): a full-reduction data dependence chains
+                # the iterations so none can be elided or reordered.
+                def body(i, Lp):
+                    v = vals + jnp.sum(Lp) * 0
+                    return once(v, asm, cls_ids, chunk_ids, flat)
+
+                init = jnp.zeros((storage,), dtype=vals.dtype)
+                return lax.fori_loop(0, reps, body, init)
+
+            self._run, self._run_rep = run, run_rep
+        else:
+            def once(vals_l, vals_u, asm_l, asm_u, cls_ids, chunk_ids, flat):
+                tabs_by_class = _unflatten(layout, flat)
+                brs = branches(tabs_by_class)
+                Lx = jnp.zeros((storage,), dtype=vals_l.dtype) \
+                    .at[asm_l].set(vals_l)
+                Ux = jnp.zeros((storage,), dtype=vals_u.dtype) \
+                    .at[asm_u].set(vals_u)
+
+                def body(carry, xs):
+                    c, i = xs
+                    return lax.switch(c, brs, carry, i), None
+
+                carry = (Lx, Ux)
+                if len(brs):
+                    carry, _ = lax.scan(body, carry, (cls_ids, chunk_ids))
+                return carry
+
+            @jax.jit
+            def run(vals_l, vals_u, asm_l, asm_u, cls_ids, chunk_ids,
+                    *flat):
+                return once(vals_l, vals_u, asm_l, asm_u, cls_ids,
+                            chunk_ids, flat)
+
+            @jax.jit
+            def run_rep(reps, vals_l, vals_u, asm_l, asm_u, cls_ids,
+                        chunk_ids, *flat):
+                def body(i, carry):
+                    d = (jnp.sum(carry[0]) + jnp.sum(carry[1])) * 0
+                    return once(vals_l + d, vals_u + d, asm_l, asm_u,
+                                cls_ids, chunk_ids, flat)
+
+                init = (jnp.zeros((storage,), dtype=vals_l.dtype),
+                        jnp.zeros((storage,), dtype=vals_u.dtype))
+                return lax.fori_loop(0, reps, body, init)
+
+            self._run, self._run_rep = run, run_rep
+
+    def run(self, vals, vals_u=None):
+        """Factorize from permuted lower(-and-upper^T) entry values."""
+        if not self.lu:
+            return self._run(vals, self._asm, *self._steps, *self._flat)
+        return self._run(vals, vals_u, self._asm, self._asm_u,
+                         *self._steps, *self._flat)
+
+    def run_repeat(self, reps: int, vals, vals_u=None):
+        """reps back-to-back factorizations in ONE dispatch (bench path).
+
+        `reps` is a traced scalar, so every rep count shares one compiled
+        program; timing two counts and taking the slope cancels all constant
+        per-dispatch overhead (host->device round trip, sync fetch)."""
+        r = jnp.asarray(reps, jnp.int32)
+        if not self.lu:
+            return self._run_rep(r, vals, self._asm, *self._steps,
+                                 *self._flat)
+        return self._run_rep(r, vals, vals_u, self._asm, self._asm_u,
+                             *self._steps, *self._flat)
+
+
+class MegaSolver:
+    """One-dispatch forward and backward level-batched triangular solves."""
+
+    def __init__(self, plan, lu: bool = False, config=None):
+        from spfx.utils.config import DEFAULT
+        config = config or DEFAULT
+        self.lu = lu
+        prec = config.matmul_precision
+        classes, cls_ids, chunk_ids = _collect(plan, solve_only=True)
+        self._flat, self._layout = _flatten_tables(classes)
+        self._fwd_steps = (jnp.asarray(cls_ids), jnp.asarray(chunk_ids))
+        self._bwd_steps = (jnp.asarray(cls_ids[::-1].copy()),
+                           jnp.asarray(chunk_ids[::-1].copy()))
+        layout = self._layout
+        nclasses = len(classes)
+
+        def make(prim):
+            def scan_fn(F, x, cls_ids, chunk_ids, *flat):
+                tabs_by_class = _unflatten(layout, flat)
+
+                def mk(tabs):
+                    def br(x, i, tabs=tabs):
+                        w, drs, brs_, xcols, xrows = _take(tabs, i)
+                        with jax.default_matmul_precision(prec):
+                            return prim(F, x, w, drs, brs_, xcols, xrows)
+                    return br
+
+                brs = [mk(t) for t in tabs_by_class]
+
+                def body(x, xs):
+                    c, i = xs
+                    return lax.switch(c, brs, x, i), None
+
+                if nclasses:
+                    x, _ = lax.scan(body, x, (cls_ids, chunk_ids))
+                return x
+
+            return jax.jit(scan_fn, donate_argnums=1)
+
+        if lu:
+            self._fwd = make(blocks.solve_fwd_level_lu.__wrapped__)
+            self._bwd = make(blocks.solve_bwd_level_lu.__wrapped__)
+        else:
+            self._fwd = make(blocks.solve_fwd_level.__wrapped__)
+            self._bwd = make(blocks.solve_bwd_level.__wrapped__)
+
+    def forward(self, F, x):
+        return self._fwd(F, x, *self._fwd_steps, *self._flat)
+
+    def backward(self, F, x):
+        return self._bwd(F, x, *self._bwd_steps, *self._flat)

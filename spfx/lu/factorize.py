@@ -84,8 +84,16 @@ class LUFactor:
         xp = np.zeros((n + 1, b2.shape[1]), dtype=dtype)
         xp[:n] = b2[self._inperm]
         x = jnp.asarray(xp)
+        engine = "fused" if self.config.fused else self.config.engine
         with jax.default_matmul_precision(self.config.matmul_precision):
-            if self.config.fused:
+            if engine == "mega":
+                if self._solver is None:
+                    from spfx.kernels.mega import MegaSolver
+                    self._solver = MegaSolver(self.plan, lu=True,
+                                              config=self.config)
+                x = self._solver.forward(self.Lx, x)
+                x = self._solver.backward(self.Ux, x)
+            elif engine == "fused":
                 if self._solver is None:
                     from spfx.kernels.fused import FusedSolver
                     self._solver = FusedSolver(
@@ -183,27 +191,43 @@ class LU:
         self._solver = None
         self._asm_idx = None
 
-    def factorize(self, A: sp.spmatrix) -> LUFactor:
+    def entry_values(self, A: sp.spmatrix, permute_rows: bool = True) -> tuple:
+        """Permuted L-lower and U^T entry values (the per-factorize
+        host->device payload)."""
         A = sp.csc_matrix(A)
-        Araw = A
-        if self.row_perm is not None:
+        if permute_rows and self.row_perm is not None:
             A = sp.csc_matrix(A[self.row_perm])
         dtype = jnp.dtype(self.config.dtype)
         Ap = A[self.sym.perm][:, self.sym.perm]
         low = sp.tril(Ap).tocsc()
         upt = sp.tril(Ap.T, -1).tocsc()
+        return (jnp.asarray(low.data.astype(dtype)),
+                jnp.asarray(upt.data.astype(dtype)))
+
+    def factorize(self, A: sp.spmatrix) -> LUFactor:
+        A = sp.csc_matrix(A)
+        Araw = A
+        if self.row_perm is not None:
+            A = sp.csc_matrix(A[self.row_perm])
+        vals_l, vals_u = self.entry_values(A, permute_rows=False)
+        engine = "fused" if self.config.fused else self.config.engine
+        if engine == "mega":
+            # whole schedule (assembly included) = ONE dispatch
+            if self._runner is None:
+                from spfx.kernels.mega import MegaRunner
+                self._runner = MegaRunner(self.plan, lu=True,
+                                          config=self.config)
+            Lx, Ux = self._runner.run(vals_l, vals_u)
+            return LUFactor(Araw, self.sym, self.plan, Lx, Ux, self.config,
+                            solver=self._solver, row_perm=self.row_perm)
         if self._asm_idx is None:
             self._asm_idx = (
                 jnp.asarray(self.plan.assembly_idx.astype(np.int32)),
                 jnp.asarray(self.plan.assembly_idx_u.astype(np.int32)))
-        Lx = blocks.assemble(self._asm_idx[0],
-                             jnp.asarray(low.data.astype(dtype)),
-                             self.plan.storage)
-        Ux = blocks.assemble(self._asm_idx[1],
-                             jnp.asarray(upt.data.astype(dtype)),
-                             self.plan.storage)
+        Lx = blocks.assemble(self._asm_idx[0], vals_l, self.plan.storage)
+        Ux = blocks.assemble(self._asm_idx[1], vals_u, self.plan.storage)
         with jax.default_matmul_precision(self.config.matmul_precision):
-            if self.config.fused:
+            if engine == "fused":
                 if self._runner is None:
                     from spfx.kernels.fused import FusedRunner, FusedSolver
                     self._runner = FusedRunner(

@@ -97,11 +97,21 @@ class Config:
     solve_backend: str = "auto"
 
     # ---- execution ------------------------------------------------------
-    # Fused multi-level chunks measured ~3-5x SLOWER on TPU than individual
-    # donated calls (XLA materializes per-step copies of the factor array
-    # inside the fused graph, while donation makes separate calls in-place),
-    # so the default is the unfused async-dispatch path.
-    fused: bool = False
+    # Numeric engine:
+    # - "mega"  (default): the ENTIRE schedule is one jitted lax.scan over a
+    #   step table with lax.switch over shape classes — exactly ONE
+    #   host->device dispatch per factorize and O(#shape classes) compiled
+    #   code, so throughput is independent of host/tunnel round-trip latency
+    #   (measured 55us..1.8s per dispatch depending on link contention) and
+    #   the factor array stays in place as the scan carry.
+    # - "calls": one donated jit call per bucket (round-1 path; useful for
+    #   debugging and per-bucket profiling).
+    # - "fused": chunks of calls_per_chunk buckets per jit program. Measured
+    #   ~3-5x slower than "calls" on TPU (the unrolled graph's overlapping
+    #   live ranges force XLA to materialize factor copies) — kept for
+    #   comparison only.
+    engine: str = "mega"
+    fused: bool = False             # deprecated alias: True -> engine="fused"
     calls_per_chunk: int = 24       # bucket calls per fused chunk
 
     # ---- misc -----------------------------------------------------------

@@ -1,0 +1,78 @@
+"""Engine parity: the single-dispatch mega engine (spfx.kernels.mega) must
+produce the same factors and solves as the per-call engine — it executes the
+identical bucket schedule, only compiled as one lax.scan program."""
+
+import numpy as np
+import scipy.sparse as sp
+import pytest
+
+from spfx.io import generate
+from spfx.utils.config import Config
+from spfx.chol.factorize import Cholesky
+from spfx.lu.factorize import LU
+from spfx.validate import synth_rhs, scaled_residual
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    B = sp.random(n, n, density=0.02, random_state=seed).tocsc()
+    A = B @ B.T + sp.diags(np.full(n, n * 0.1))
+    return sp.csc_matrix(A)
+
+
+def _unsym(n, seed=1):
+    B = sp.random(n, n, density=0.02, random_state=seed).tocsc()
+    return sp.csc_matrix(B + sp.diags(np.abs(B).sum(axis=1).A1 + 1.0))
+
+
+@pytest.mark.parametrize("make,n", [(_spd, 300), (lambda n, seed=0:
+                                                  generate.laplacian_3d(7),
+                                                  343)])
+def test_mega_chol_matches_calls(make, n):
+    A = make(n)
+    f_calls = Cholesky(A, Config(dtype="float64", engine="calls")).factorize(A)
+    f_mega = Cholesky(A, Config(dtype="float64", engine="mega")).factorize(A)
+    Lc = np.asarray(f_calls.L)
+    Lm = np.asarray(f_mega.L)
+    np.testing.assert_allclose(Lm, Lc, rtol=1e-12, atol=1e-12)
+
+
+def test_mega_lu_matches_calls():
+    A = _unsym(300)
+    f_calls = LU(A, Config(dtype="float64", engine="calls")).factorize(A)
+    f_mega = LU(A, Config(dtype="float64", engine="mega")).factorize(A)
+    np.testing.assert_allclose(np.asarray(f_mega.Lx), np.asarray(f_calls.Lx),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_mega.Ux), np.asarray(f_calls.Ux),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_mega_device_solve():
+    A = _spd(400, seed=3)
+    b = synth_rhs(A)
+    cfg = Config(dtype="float64", engine="mega", solve_backend="device")
+    f = Cholesky(A, cfg).factorize(A)
+    x = f.solve(b)
+    assert scaled_residual(A, x, b) < 1e-12
+
+
+def test_mega_device_solve_lu():
+    A = _unsym(400, seed=4)
+    b = synth_rhs(A)
+    cfg = Config(dtype="float64", engine="mega", solve_backend="device")
+    f = LU(A, cfg).factorize(A)
+    x = f.solve(b)
+    assert scaled_residual(A, x, b) < 1e-12
+
+
+def test_mega_complex():
+    n = 200
+    rng = np.random.default_rng(5)
+    B = sp.random(n, n, density=0.03, random_state=5).tocsc()
+    B = B + 1j * sp.random(n, n, density=0.03, random_state=6).tocsc()
+    A = sp.csc_matrix(B @ B.conj().T + sp.diags(np.full(n, n * 0.1)))
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    cfg = Config(dtype="complex128", engine="mega", solve_backend="device")
+    f = Cholesky(A, cfg).factorize(A)
+    x = f.solve(b)
+    assert scaled_residual(A, x, b) < 1e-12
