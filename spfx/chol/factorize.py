@@ -100,12 +100,21 @@ class CholeskyFactor:
                 x = self._solver.forward(self.L, x)
                 x = self._solver.backward(self.L, x)
             else:
+                from spfx.plan.schedule import PanelBucketC
                 for lp in self.plan.levels:
                     for pb in lp.panels:
-                        x = blocks.solve_fwd_level(self.L, x, *pb.dev())
+                        if isinstance(pb, PanelBucketC):
+                            x = blocks.solve_fwd_level_c(
+                                self.L, x, *pb.dev(), cp=pb.cp, rbp=pb.rbp)
+                        else:
+                            x = blocks.solve_fwd_level(self.L, x, *pb.dev())
                 for lp in reversed(self.plan.levels):
                     for pb in lp.panels:
-                        x = blocks.solve_bwd_level(self.L, x, *pb.dev())
+                        if isinstance(pb, PanelBucketC):
+                            x = blocks.solve_bwd_level_c(
+                                self.L, x, *pb.dev(), cp=pb.cp, rbp=pb.rbp)
+                        else:
+                            x = blocks.solve_bwd_level(self.L, x, *pb.dev())
         xh = np.asarray(x[:n])
         out = np.empty_like(xh)
         out[self.sym.perm] = xh
@@ -228,6 +237,7 @@ class Cholesky:
                         calls_per_chunk=self.config.calls_per_chunk)
                 L = self._runner.run(L)
             else:
+                from spfx.plan.schedule import PanelBucketC, UpdateBucketC
                 upd_prec = self.config.update_precision \
                     or self.config.matmul_precision
                 for lp in self.plan.levels:
@@ -235,12 +245,22 @@ class Cholesky:
                     # factor its panels
                     with jax.default_matmul_precision(upd_prec):
                         for ub in lp.updates:
-                            L = blocks.apply_updates_sym(L, *ub.dev(),
-                                                         kp=ub.kp,
-                                                         csp=ub.csp)
+                            if isinstance(ub, UpdateBucketC):
+                                L = blocks.apply_updates_sym_c(
+                                    L, *ub.dev(), mp=ub.mp, kp=ub.kp,
+                                    csp=ub.csp)
+                            else:
+                                L = blocks.apply_updates_sym(L, *ub.dev(),
+                                                             kp=ub.kp,
+                                                             csp=ub.csp)
                     for pb in lp.panels:
                         d = pb.dev()
-                        L = blocks.factor_panels_chol(L, d[0], d[1], d[2])
+                        if isinstance(pb, PanelBucketC):
+                            L = blocks.factor_panels_chol_c(
+                                L, *d[:4], cp=pb.cp, rbp=pb.rbp)
+                        else:
+                            L = blocks.factor_panels_chol(L, d[0], d[1],
+                                                          d[2])
         return CholeskyFactor(A, self.sym, self.plan, L, self.config,
                               solver=self._solver)
 

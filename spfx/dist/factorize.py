@@ -54,27 +54,43 @@ def _pad_dim0(a: np.ndarray, mult: int, fill) -> np.ndarray:
 
 
 def _chol_chunk_fn(spec, axis):
-    """spec: per-level tuples (n_updates_with_statics, n_panels) flattened as
-    ('U', kp, csp) / ('P',) entries grouped by level with 'L' markers."""
+    """spec: per-level tuples (update_entries, panel_entries); entries are
+    ('U', kp, csp) / ('UC', mp, kp, csp) and ('P',) / ('PC', cp, rbp)."""
 
     def fn(L, *arrays):
         it = iter(arrays)
         for level in spec:
-            upds, npanels = level
+            upds, panels = level
             if upds:
                 delta = jnp.zeros_like(L)
-                for kp, csp in upds:
-                    kw, src, tgt, cpos = (next(it) for _ in range(4))
-                    E = blocks.update_rows_sym(L, kw, src, cpos, kp, csp)
+                for ent in upds:
+                    if ent[0] == "UC":
+                        _, mp, kp, csp = ent
+                        kw, mr, ss, tgt, cpos = (next(it) for _ in range(5))
+                        E = blocks.update_rows_sym_c(L, kw, mr, ss, cpos,
+                                                     mp, kp, csp)
+                    else:
+                        _, kp, csp = ent
+                        kw, src, tgt, cpos = (next(it) for _ in range(4))
+                        E = blocks.update_rows_sym(L, kw, src, cpos, kp, csp)
                     delta = blocks._win_scatter_add(delta, tgt, -E)
                 L = L + lax.psum(delta, axis)
-            if npanels:
+            if panels:
                 delta = jnp.zeros_like(L)
-                for _ in range(npanels):
-                    w, diag, below = (next(it) for _ in range(3))
-                    dD, dB = blocks.panel_deltas_chol(L, w, diag, below)
-                    delta = blocks._win_scatter_add(delta, diag, dD)
-                    delta = blocks._win_scatter_add(delta, below, dB)
+                for ent in panels:
+                    if ent[0] == "PC":
+                        _, cp, rbp = ent
+                        w, nb, ds, bs = (next(it) for _ in range(4))
+                        dD, dB = blocks.panel_deltas_chol_c(L, w, nb, ds, bs,
+                                                            cp, rbp)
+                        delta = blocks._task_scatter_add(delta, ds, dD)
+                        if rbp:
+                            delta = blocks._task_scatter_add(delta, bs, dB)
+                    else:
+                        w, diag, below = (next(it) for _ in range(3))
+                        dD, dB = blocks.panel_deltas_chol(L, w, diag, below)
+                        delta = blocks._win_scatter_add(delta, diag, dD)
+                        delta = blocks._win_scatter_add(delta, below, dB)
                 L = L + lax.psum(delta, axis)
         return L
 
@@ -85,29 +101,47 @@ def _lu_chunk_fn(spec, axis):
     def fn(Lx, Ux, *arrays):
         it = iter(arrays)
         for level in spec:
-            upds, npanels = level
+            upds, panels = level
             if upds:
                 dL = jnp.zeros_like(Lx)
                 dU = jnp.zeros_like(Ux)
-                for kp, csp in upds:
-                    kw, src, tgt, cpos = (next(it) for _ in range(4))
-                    EL, EU = blocks.update_rows_lu(Lx, Ux, kw, src, cpos,
-                                                   kp, csp)
+                for ent in upds:
+                    if ent[0] == "UC":
+                        _, mp, kp, csp = ent
+                        kw, mr, ss, tgt, cpos = (next(it) for _ in range(5))
+                        EL, EU = blocks.update_rows_lu_c(
+                            Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
+                    else:
+                        _, kp, csp = ent
+                        kw, src, tgt, cpos = (next(it) for _ in range(4))
+                        EL, EU = blocks.update_rows_lu(Lx, Ux, kw, src, cpos,
+                                                       kp, csp)
                     dL = blocks._win_scatter_add(dL, tgt, -EL)
                     dU = blocks._win_scatter_add(dU, tgt, -EU)
                 Lx = Lx + lax.psum(dL, axis)
                 Ux = Ux + lax.psum(dU, axis)
-            if npanels:
+            if panels:
                 dL = jnp.zeros_like(Lx)
                 dU = jnp.zeros_like(Ux)
-                for _ in range(npanels):
-                    w, diag, below = (next(it) for _ in range(3))
-                    dDL, dBL, dDU, dBU = blocks.panel_deltas_lu(
-                        Lx, Ux, w, diag, below)
-                    dL = blocks._win_scatter_add(dL, diag, dDL)
-                    dL = blocks._win_scatter_add(dL, below, dBL)
-                    dU = blocks._win_scatter_add(dU, diag, dDU)
-                    dU = blocks._win_scatter_add(dU, below, dBU)
+                for ent in panels:
+                    if ent[0] == "PC":
+                        _, cp, rbp = ent
+                        w, nb, ds, bs = (next(it) for _ in range(4))
+                        dDL, dBL, dDU, dBU = blocks.panel_deltas_lu_c(
+                            Lx, Ux, w, nb, ds, bs, cp, rbp)
+                        dL = blocks._task_scatter_add(dL, ds, dDL)
+                        dU = blocks._task_scatter_add(dU, ds, dDU)
+                        if rbp:
+                            dL = blocks._task_scatter_add(dL, bs, dBL)
+                            dU = blocks._task_scatter_add(dU, bs, dBU)
+                    else:
+                        w, diag, below = (next(it) for _ in range(3))
+                        dDL, dBL, dDU, dBU = blocks.panel_deltas_lu(
+                            Lx, Ux, w, diag, below)
+                        dL = blocks._win_scatter_add(dL, diag, dDL)
+                        dL = blocks._win_scatter_add(dL, below, dBL)
+                        dU = blocks._win_scatter_add(dU, diag, dDU)
+                        dU = blocks._win_scatter_add(dU, below, dBU)
                 Lx = Lx + lax.psum(dL, axis)
                 Ux = Ux + lax.psum(dU, axis)
         return Lx, Ux
@@ -142,24 +176,41 @@ class _ShardedBase:
         nstate = 2 if self.lu else 1
         mk = _lu_chunk_fn if self.lu else _chol_chunk_fn
         self.chunks = []
+        from spfx.plan.schedule import PanelBucketC, UpdateBucketC
         for levels in chunk_levels(self.plan.levels,
                                    self.config.calls_per_chunk):
             spec, args = [], []
             for lp in levels:
-                upds = []
+                upds, panels = [], []
                 for ub in lp.updates:
-                    upds.append((ub.kp, ub.csp))
-                    for a, f in zip((ub.kw, ub.src_row_start,
-                                     ub.tgt_row_start, ub.tgt_cpos),
-                                    (0, -1, -1, -1)):
+                    if isinstance(ub, UpdateBucketC):
+                        upds.append(("UC", ub.mp, ub.kp, ub.csp))
+                        arrs = (ub.kw, ub.mrows, ub.src_start,
+                                ub.tgt_row_start, ub.tgt_cpos)
+                        fills = (0, 0, -1, -1, -1)
+                    else:
+                        upds.append(("U", ub.kp, ub.csp))
+                        arrs = (ub.kw, ub.src_row_start, ub.tgt_row_start,
+                                ub.tgt_cpos)
+                        fills = (0, -1, -1, -1)
+                    for a, f in zip(arrs, fills):
                         args.append(jax.device_put(
                             _pad_dim0(a, self.ndev, f), shd))
                 for pb in lp.panels:
-                    for a, f in zip((pb.widths, pb.diag_row_start,
-                                     pb.below_row_start), (0, -1, -1)):
+                    if isinstance(pb, PanelBucketC):
+                        panels.append(("PC", pb.cp, pb.rbp))
+                        arrs = (pb.widths, pb.nbelow, pb.diag_start,
+                                pb.below_start)
+                        fills = (0, 0, -1, -1)
+                    else:
+                        panels.append(("P",))
+                        arrs = (pb.widths, pb.diag_row_start,
+                                pb.below_row_start)
+                        fills = (0, -1, -1)
+                    for a, f in zip(arrs, fills):
                         args.append(jax.device_put(
                             _pad_dim0(a, self.ndev, f), shd))
-                spec.append((tuple(upds), len(lp.panels)))
+                spec.append((tuple(upds), tuple(panels)))
             in_specs = (P(),) * nstate + (P(self.axis),) * len(args)
             out_specs = P() if nstate == 1 else (P(), P())
             fn = jax.jit(
@@ -191,10 +242,15 @@ class ShardedCholesky(_ShardedBase):
     def factorize(self, A: sp.spmatrix) -> CholeskyFactor:
         A = sp.csc_matrix(A)
         dtype = jnp.dtype(self.config.dtype)
+        # device-side assembly, same as the single-chip engines: only the
+        # nnz values cross the host->device link
         Ap = A[self.sym.perm][:, self.sym.perm]
         low = sp.tril(Ap).tocsc()
-        L0 = np.zeros(self.plan.storage, dtype=dtype)
-        L0[self.plan.assembly_idx] = low.data
+        if getattr(self, "_asm", None) is None:
+            self._asm = jnp.asarray(self.plan.assembly_idx.astype(np.int32))
+        L0 = blocks.assemble(self._asm,
+                             jnp.asarray(low.data.astype(dtype)),
+                             self.plan.storage)
         (L,) = self._run(L0)
         return CholeskyFactor(A, self.sym, self.plan, L, self.config)
 
@@ -210,9 +266,15 @@ class ShardedLU(_ShardedBase):
         Ap = A[self.sym.perm][:, self.sym.perm]
         low = sp.tril(Ap).tocsc()
         upt = sp.tril(Ap.T, -1).tocsc()
-        L0 = np.zeros(self.plan.storage, dtype=dtype)
-        U0 = np.zeros(self.plan.storage, dtype=dtype)
-        L0[self.plan.assembly_idx] = low.data
-        U0[self.plan.assembly_idx_u] = upt.data
+        if getattr(self, "_asm", None) is None:
+            self._asm = (
+                jnp.asarray(self.plan.assembly_idx.astype(np.int32)),
+                jnp.asarray(self.plan.assembly_idx_u.astype(np.int32)))
+        L0 = blocks.assemble(self._asm[0],
+                             jnp.asarray(low.data.astype(dtype)),
+                             self.plan.storage)
+        U0 = blocks.assemble(self._asm[1],
+                             jnp.asarray(upt.data.astype(dtype)),
+                             self.plan.storage)
         Lx, Ux = self._run(L0, U0)
         return LUFactor(A, self.sym, self.plan, Lx, Ux, self.config)

@@ -61,6 +61,134 @@ def _col_mask(widths, cp, dtype):
     return (jnp.arange(cp)[None, :] < widths[:, None]).astype(dtype)
 
 
+# --------------------------------------------------------------------------
+# Batched dense factorization cores, trace-time unrolled.
+#
+# XLA's Cholesky/TriangularSolve expanders lower to While loops; inside the
+# mega engine's scan those cost ~6.5 ms per step on TPU (measured grid=16:
+# 0.65s of a 1.35s factorize was linalg expander overhead). All panel shapes
+# are static powers of two, so we unroll: blocked 2x2 recursion down to an
+# 8-wide base case of rank-1 VPU ops — straight-line code, MXU matmuls for
+# all off-diagonal blocks, no While anywhere.
+# --------------------------------------------------------------------------
+
+_BASE = 8
+
+
+def _conj(x):
+    return jnp.conj(x) if jnp.iscomplexobj(x) else x
+
+
+def _unrolled() -> bool:
+    """Unrolled cores only pay off on TPU (they exist to avoid While-based
+    expander loops inside the mega scan); on CPU they explode compile time,
+    so the XLA expanders are used there."""
+    return jax.default_backend() == "tpu"
+
+
+def potrf_batched(D):
+    """Batched lower Cholesky of (B, C, C); C static, pow2, >= 8."""
+    c = D.shape[-1]
+    if not _unrolled():
+        return lax.linalg.cholesky(D, symmetrize_input=False)
+    if c <= _BASE:
+        A = D
+        cols = []
+        ri = jnp.arange(c)
+        for j in range(c):
+            d = jnp.sqrt(A[:, j, j])
+            cj = jnp.where(ri[None, :] >= j, A[:, :, j] / d[:, None], 0)
+            A = A - cj[:, :, None] * _conj(cj)[:, None, :]
+            cols.append(cj)
+        return jnp.stack(cols, axis=2)
+    h = c // 2
+    A11, A21, A22 = D[:, :h, :h], D[:, h:, :h], D[:, h:, h:]
+    L11 = potrf_batched(A11)
+    L21 = trsm_right_upper(_conj(jnp.swapaxes(L11, 1, 2)), A21)
+    S = A22 - jnp.einsum("bik,bjk->bij", L21, _conj(L21),
+                         preferred_element_type=D.dtype)
+    L22 = potrf_batched(S)
+    z = jnp.zeros_like(A21)
+    return jnp.concatenate([
+        jnp.concatenate([L11, jnp.swapaxes(z, 1, 2)], axis=2),
+        jnp.concatenate([L21, L22], axis=2)], axis=1)
+
+
+def trsm_right_upper(M, B, unit: bool = False):
+    """Solve X M = B for X, M (B, C, C) upper triangular, B (B, R, C)."""
+    c = M.shape[-1]
+    if not _unrolled():
+        return lax.linalg.triangular_solve(M, B, left_side=False,
+                                           lower=False, unit_diagonal=unit)
+    if c <= _BASE:
+        ci = jnp.arange(c)
+        acc = B
+        cols = []
+        for j in range(c):
+            xj = acc[:, :, j] if unit else acc[:, :, j] / M[:, j, j][:, None]
+            cols.append(xj)
+            row = jnp.where(ci[None, :] > j, M[:, j, :], 0)   # M[j, k], k > j
+            acc = acc - xj[:, :, None] * row[:, None, :]
+        return jnp.stack(cols, axis=2)
+    h = c // 2
+    M11, M12, M22 = M[:, :h, :h], M[:, :h, h:], M[:, h:, h:]
+    X1 = trsm_right_upper(M11, B[:, :, :h], unit)
+    B2 = B[:, :, h:] - jnp.einsum("brk,bkj->brj", X1, M12,
+                                  preferred_element_type=B.dtype)
+    X2 = trsm_right_upper(M22, B2, unit)
+    return jnp.concatenate([X1, X2], axis=2)
+
+
+def trsm_left_lower(L, B, unit: bool = False):
+    """Solve L X = B for X, L (B, C, C) lower triangular, B (B, C, R)."""
+    c = L.shape[-1]
+    if not _unrolled():
+        return lax.linalg.triangular_solve(L, B, left_side=True, lower=True,
+                                           unit_diagonal=unit)
+    if c <= _BASE:
+        ri = jnp.arange(c)
+        acc = B
+        rows = []
+        for i in range(c):
+            xi = acc[:, i, :] if unit else acc[:, i, :] / L[:, i, i][:, None]
+            rows.append(xi)
+            col = jnp.where(ri[None, :] > i, L[:, :, i], 0)   # L[k, i], k > i
+            acc = acc - col[:, :, None] * xi[:, None, :]
+        return jnp.stack(rows, axis=1)
+    h = c // 2
+    L11, L21, L22 = L[:, :h, :h], L[:, h:, :h], L[:, h:, h:]
+    X1 = trsm_left_lower(L11, B[:, :h, :], unit)
+    B2 = B[:, h:, :] - jnp.einsum("bik,bkj->bij", L21, X1,
+                                  preferred_element_type=B.dtype)
+    X2 = trsm_left_lower(L22, B2, unit)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def trsm_left_upper(M, B, unit: bool = False):
+    """Solve M X = B for X, M (B, C, C) upper triangular, B (B, C, R)."""
+    c = M.shape[-1]
+    if not _unrolled():
+        return lax.linalg.triangular_solve(M, B, left_side=True, lower=False,
+                                           unit_diagonal=unit)
+    if c <= _BASE:
+        ri = jnp.arange(c)
+        acc = B
+        rows = [None] * c
+        for i in range(c - 1, -1, -1):
+            xi = acc[:, i, :] if unit else acc[:, i, :] / M[:, i, i][:, None]
+            rows[i] = xi
+            col = jnp.where(ri[None, :] < i, M[:, :, i], 0)   # M[k, i], k < i
+            acc = acc - col[:, :, None] * xi[:, None, :]
+        return jnp.stack(rows, axis=1)
+    h = c // 2
+    M11, M12, M22 = M[:, :h, :h], M[:, :h, h:], M[:, h:, h:]
+    X2 = trsm_left_upper(M22, B[:, h:, :], unit)
+    B1 = B[:, :h, :] - jnp.einsum("bik,bkj->bij", M12, X2,
+                                  preferred_element_type=B.dtype)
+    X1 = trsm_left_upper(M11, B1, unit)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
 @partial(jax.jit, static_argnames=("storage",))
 def assemble(idx, vals, storage: int):
     """Device-side assembly (ref loadA :1998-2028): scatter the permuted
@@ -83,14 +211,12 @@ def panel_deltas_chol(L, widths, diag_row_start, below_row_start):
     Draw = _win_gather(L, diag_row_start, cp)            # (B, Cp, Cp)
     D = Draw * cm[:, None, :]
     D = D + jnp.eye(cp, dtype=L.dtype)[None] * (1.0 - cm)[:, None, :]
-    L11 = lax.linalg.cholesky(D, symmetrize_input=False)
+    L11 = potrf_batched(D)
     Braw = _win_gather(L, below_row_start, cp)
     # complex: A = L L^H, so the panel solve and the descendant products use
     # the conjugate transpose (ref zpotrf/zherk/ztrsm line)
-    cplx = jnp.iscomplexobj(L)
-    L21 = lax.linalg.triangular_solve(L11, Braw * cm[:, None, :],
-                                      left_side=False, lower=True,
-                                      transpose_a=True, conjugate_a=cplx)
+    L21 = trsm_right_upper(_conj(jnp.swapaxes(L11, 1, 2)),
+                           Braw * cm[:, None, :])
     on = cm[:, None, :] > 0
     dD = jnp.where(on, L11, Draw) - Draw
     dB = jnp.where(on, L21, Braw) - Braw
@@ -102,6 +228,218 @@ def factor_panels_chol(L, widths, diag_row_start, below_row_start):
     dD, dB = panel_deltas_chol(L, widths, diag_row_start, below_row_start)
     L = _win_scatter_add(L, diag_row_start, dD)
     return _win_scatter_add(L, below_row_start, dB)
+
+
+# --------------------------------------------------------------------------
+# Contiguous-layout ("contig") kernels: panel storage stride equals the
+# pow2-padded supernode width, so the diag block (rows 0..cp), the below
+# block (rows w..w+rbp) and an update task's source rows (lpos..lpos+mp) are
+# each ONE contiguous region — gathered/scattered with a single transfer
+# descriptor per task. Windowed gathers on TPU are descriptor-rate-bound
+# (~75ns each, measured), so this layout replaces O(rows) descriptors with
+# O(tasks). Row tails beyond a task's true extent read the NEXT panel's data
+# (not zeros), so every kernel applies an explicit row-validity mask; all
+# written deltas are zero on masked rows, making the overrunning adds no-ops.
+# --------------------------------------------------------------------------
+
+
+def _task_gather(L, starts, rows: int, win: int):
+    """(B,) int32 task starts -> (B, rows, win) contiguous blocks."""
+    out = _win_gather(L, starts.reshape(-1, 1), rows * win)
+    return out.reshape(starts.shape[0], rows, win)
+
+
+def _task_scatter_add(L, starts, upd):
+    """(B,) starts, (B, rows, win): contiguous block add; start<0 drops."""
+    return _win_scatter_add(L, starts,
+                            upd.reshape(starts.shape[0], -1))
+
+
+def _row_mask(nrows, rp, dtype):
+    return (jnp.arange(rp)[None, :] < nrows[:, None]).astype(dtype)
+
+
+def panel_deltas_chol_c(L, widths, nbelow, diag_start, below_start,
+                        cp: int, rbp: int):
+    """Contig-layout Cholesky panel deltas (cf. panel_deltas_chol)."""
+    cm = _col_mask(widths, cp, L.dtype)                    # (B, Cp)
+    Draw = _task_gather(L, diag_start, cp, cp)             # (B, Cp, Cp)
+    # rows >= w of the diag window hold the panel's below-block data (the
+    # contig window is raw storage, not zero-filled like rowwin's -1 starts);
+    # zero them so the factorization's padding rows stay exactly e_j
+    # (otherwise pivots 1 - sum(L21^2) can go negative -> NaN)
+    D = Draw * cm[:, None, :] * cm[:, :, None]
+    D = D + jnp.eye(cp, dtype=L.dtype)[None] * (1.0 - cm)[:, None, :]
+    L11 = potrf_batched(D)
+    dD = (L11 - Draw) * cm[:, None, :] * cm[:, :, None]    # rows<w, cols<w
+    if rbp:
+        Braw = _task_gather(L, below_start, rbp, cp)
+        rm = _row_mask(nbelow, rbp, L.dtype)
+        L21 = trsm_right_upper(_conj(jnp.swapaxes(L11, 1, 2)),
+                               Braw * cm[:, None, :])
+        dB = (L21 - Braw) * cm[:, None, :] * rm[:, :, None]
+    else:
+        dB = jnp.zeros((widths.shape[0], 0, cp), L.dtype)
+    return dD, dB
+
+
+@partial(jax.jit, donate_argnums=0, static_argnames=("cp", "rbp"))
+def factor_panels_chol_c(L, widths, nbelow, diag_start, below_start,
+                         cp: int, rbp: int):
+    dD, dB = panel_deltas_chol_c(L, widths, nbelow, diag_start, below_start,
+                                 cp, rbp)
+    L = _task_scatter_add(L, diag_start, dD)
+    if rbp:
+        L = _task_scatter_add(L, below_start, dB)
+    return L
+
+
+def update_rows_sym_c(L, kw, mrows, src_start, tgt_cpos,
+                      mp: int, kp: int, csp: int):
+    """Contig-layout symmetric update rows (cf. update_rows_sym): one
+    contiguous (mp x kp) source gather per task; the N block is the leading
+    rows of the same window."""
+    G = _task_gather(L, src_start, mp, kp)                 # (B, mp, kp)
+    G = G * _col_mask(kw, kp, L.dtype)[:, None, :] \
+        * _row_mask(mrows, mp, L.dtype)[:, :, None]
+    np_ = tgt_cpos.shape[1]
+    Gt = _conj(G[:, :np_, :])
+    C = jnp.einsum("bmk,bnk->bmn", G, Gt, preferred_element_type=L.dtype)
+    oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :])
+    return jnp.einsum("bmn,bnc->bmc", C, oh.astype(L.dtype),
+                      preferred_element_type=L.dtype)
+
+
+@partial(jax.jit, donate_argnums=0, static_argnames=("mp", "kp", "csp"))
+def apply_updates_sym_c(L, kw, mrows, src_start, tgt_row_start, tgt_cpos,
+                        mp: int, kp: int, csp: int):
+    E = update_rows_sym_c(L, kw, mrows, src_start, tgt_cpos, mp, kp, csp)
+    return _win_scatter_add(L, tgt_row_start, -E)
+
+
+def panel_deltas_lu_c(Lx, Ux, widths, nbelow, diag_start, below_start,
+                      cp: int, rbp: int):
+    """Contig-layout LU panel deltas (cf. panel_deltas_lu)."""
+    cm = _col_mask(widths, cp, Lx.dtype)
+    row = lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
+    col = lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
+    DLraw = _task_gather(Lx, diag_start, cp, cp)
+    DUraw = _task_gather(Ux, diag_start, cp, cp)
+    # zero rows >= w too (they hold below-block data in the contig window),
+    # so padding pivots stay exactly 1 and produce no NaN/Inf
+    wm = _row_mask(widths, cp, Lx.dtype)
+    DL = DLraw * cm[:, None, :] * wm[:, :, None]
+    DU = DUraw * cm[:, None, :] * wm[:, :, None]
+    D = jnp.where((row >= col)[None], DL, 0) \
+        + jnp.swapaxes(jnp.where((row > col)[None], DU, 0), 1, 2)
+    D = D + jnp.eye(cp, dtype=Lx.dtype)[None] * (1.0 - cm)[:, None, :]
+    L11, U11 = getrf_nopiv(D)
+    U11t = jnp.swapaxes(U11, 1, 2)
+    dDL = (L11 - DLraw) * cm[:, None, :] * wm[:, :, None]
+    dDU = (U11t - DUraw) * cm[:, None, :] * wm[:, :, None]
+    if rbp:
+        BLraw = _task_gather(Lx, below_start, rbp, cp)
+        BUraw = _task_gather(Ux, below_start, rbp, cp)
+        rm = _row_mask(nbelow, rbp, Lx.dtype)
+        L21 = trsm_right_upper(U11, BLraw * cm[:, None, :])
+        U12t = trsm_right_upper(jnp.swapaxes(L11, 1, 2),
+                                BUraw * cm[:, None, :], unit=True)
+        dBL = (L21 - BLraw) * cm[:, None, :] * rm[:, :, None]
+        dBU = (U12t - BUraw) * cm[:, None, :] * rm[:, :, None]
+    else:
+        dBL = jnp.zeros((widths.shape[0], 0, cp), Lx.dtype)
+        dBU = dBL
+    return dDL, dBL, dDU, dBU
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cp", "rbp"))
+def factor_panels_lu_c(Lx, Ux, widths, nbelow, diag_start, below_start,
+                       cp: int, rbp: int):
+    dDL, dBL, dDU, dBU = panel_deltas_lu_c(Lx, Ux, widths, nbelow,
+                                           diag_start, below_start, cp, rbp)
+    Lx = _task_scatter_add(Lx, diag_start, dDL)
+    Ux = _task_scatter_add(Ux, diag_start, dDU)
+    if rbp:
+        Lx = _task_scatter_add(Lx, below_start, dBL)
+        Ux = _task_scatter_add(Ux, below_start, dBU)
+    return Lx, Ux
+
+
+def update_rows_lu_c(Lx, Ux, kw, mrows, src_start, tgt_cpos,
+                     mp: int, kp: int, csp: int):
+    km = _col_mask(kw, kp, Lx.dtype)[:, None, :]
+    rm = _row_mask(mrows, mp, Lx.dtype)[:, :, None]
+    GL = _task_gather(Lx, src_start, mp, kp) * km * rm
+    GU = _task_gather(Ux, src_start, mp, kp) * km * rm
+    np_ = tgt_cpos.shape[1]
+    CL = jnp.einsum("bmk,bnk->bmn", GL, GU[:, :np_, :],
+                    preferred_element_type=Lx.dtype)
+    CU = jnp.einsum("bmk,bnk->bmn", GU, GL[:, :np_, :],
+                    preferred_element_type=Lx.dtype)
+    oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :]) \
+        .astype(Lx.dtype)
+    EL = jnp.einsum("bmn,bnc->bmc", CL, oh, preferred_element_type=Lx.dtype)
+    EU = jnp.einsum("bmn,bnc->bmc", CU, oh, preferred_element_type=Lx.dtype)
+    return EL, EU
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("mp", "kp", "csp"))
+def apply_updates_lu_c(Lx, Ux, kw, mrows, src_start, tgt_row_start, tgt_cpos,
+                       mp: int, kp: int, csp: int):
+    EL, EU = update_rows_lu_c(Lx, Ux, kw, mrows, src_start, tgt_cpos,
+                              mp, kp, csp)
+    Lx = _win_scatter_add(Lx, tgt_row_start, -EL)
+    Ux = _win_scatter_add(Ux, tgt_row_start, -EU)
+    return Lx, Ux
+
+
+def _panel_parts_c(L, widths, nbelow, diag_start, below_start,
+                   cp: int, rbp: int, unit_pad=True):
+    cm = _col_mask(widths, cp, L.dtype)
+    L11 = _task_gather(L, diag_start, cp, cp) * cm[:, None, :] \
+        * _row_mask(widths, cp, L.dtype)[:, :, None]
+    if unit_pad:
+        diag_fix = jnp.eye(cp, dtype=L.dtype)[None] * (1.0 - cm)[:, None, :]
+        L11 = L11 + diag_fix
+    if rbp:
+        L21 = _task_gather(L, below_start, rbp, cp) * cm[:, None, :] \
+            * _row_mask(nbelow, rbp, L.dtype)[:, :, None]
+    else:
+        L21 = jnp.zeros((widths.shape[0], 0, cp), L.dtype)
+    return L11, L21
+
+
+@partial(jax.jit, donate_argnums=1, static_argnames=("cp", "rbp", "lu"))
+def solve_fwd_level_c(F, x, widths, nbelow, diag_start, below_start,
+                      xcols, xrows, cp: int, rbp: int, lu: bool = False):
+    L11, L21 = _panel_parts_c(F, widths, nbelow, diag_start, below_start,
+                              cp, rbp)
+    b = x[_x_idx(x, xcols)]
+    y = trsm_left_lower(L11, b, unit=lu)
+    x = x.at[_x_idx(x, xcols)].set(y)
+    if rbp:
+        upd = jnp.einsum("brc,bch->brh", L21, y,
+                         preferred_element_type=x.dtype)
+        x = x.at[_x_idx(x, xrows)].add(-upd)
+    return x
+
+
+@partial(jax.jit, donate_argnums=1, static_argnames=("cp", "rbp", "lu"))
+def solve_bwd_level_c(F, x, widths, nbelow, diag_start, below_start,
+                      xcols, xrows, cp: int, rbp: int, lu: bool = False):
+    L11, L21 = _panel_parts_c(F, widths, nbelow, diag_start, below_start,
+                              cp, rbp)
+    t = x[_x_idx(x, xcols)]
+    if rbp:
+        yb = x[_x_idx(x, xrows)]
+        L21c = _conj(L21) if not lu else L21
+        t = t - jnp.einsum("brc,brh->bch", L21c, yb,
+                           preferred_element_type=x.dtype)
+    if lu:
+        z = trsm_left_upper(jnp.swapaxes(L11, 1, 2), t)
+    else:
+        z = trsm_left_upper(_conj(jnp.swapaxes(L11, 1, 2)), t)
+    return x.at[_x_idx(x, xcols)].set(z)
 
 
 # --------------------------------------------------------------------------
@@ -141,17 +479,17 @@ def apply_updates_sym(L, kw, src_row_start, tgt_row_start, tgt_cpos,
 
 def getrf_nopiv(D):
     """Batched unpivoted LU of (B, C, C): returns (Lunit, U). Blocked
-    recursion so the MXU does the bulk of the work at larger C."""
+    recursion so the MXU does the bulk of the work at larger C; trace-time
+    unrolled base case (no While — see the dense-core comment above)."""
     c = D.shape[-1]
-    if c <= 32:
+    if c <= (_BASE if _unrolled() else 32):
         return _getrf_nopiv_unblocked(D)
     h = c // 2
     A11, A12 = D[:, :h, :h], D[:, :h, h:]
     A21, A22 = D[:, h:, :h], D[:, h:, h:]
     L11, U11 = getrf_nopiv(A11)
-    U12 = lax.linalg.triangular_solve(L11, A12, left_side=True, lower=True,
-                                      unit_diagonal=True)
-    L21 = lax.linalg.triangular_solve(U11, A21, left_side=False, lower=False)
+    U12 = trsm_left_lower(L11, A12, unit=True)
+    L21 = trsm_right_upper(U11, A21)
     S = A22 - jnp.einsum("bik,bkj->bij", L21, U12,
                          preferred_element_type=D.dtype)
     L22, U22 = getrf_nopiv(S)
@@ -165,20 +503,32 @@ def getrf_nopiv(D):
 
 
 def _getrf_nopiv_unblocked(D):
-    """Right-looking unpivoted LU via fori_loop of rank-1 updates."""
+    """Right-looking unpivoted LU via rank-1 updates: unrolled at trace time
+    on TPU (no While inside the mega scan), fori_loop elsewhere."""
     c = D.shape[-1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    ri = jnp.arange(c)
+    if _unrolled():
+        A = D
+        lcols, urows = [], []
+        for k in range(c):
+            piv = A[:, k, k][:, None]
+            urow = jnp.where(ri[None, :] >= k, A[:, k, :], 0)       # U[k,:]
+            lcol = jnp.where(ri[None, :] > k, A[:, :, k] / piv, 0)  # L[>k,k]
+            A = A - lcol[:, :, None] * urow[:, None, :]
+            lcols.append(lcol + (ri[None, :] == k).astype(D.dtype))
+            urows.append(urow)
+        return jnp.stack(lcols, axis=2), jnp.stack(urows, axis=1)
+
+    row = lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = lax.broadcasted_iota(jnp.int32, (c, c), 1)
 
     def body(k, A):
         piv = A[:, k, k][:, None]
-        colk = A[:, :, k] / piv
-        colk = jnp.where(row[None, :, k] > k, colk, 0.0)
+        colk = jnp.where(row[None, :, k] > k, A[:, :, k] / piv, 0.0)
         rowk = jnp.where(col[None, k, :] >= k, A[:, k, :], 0.0)
         A = A - colk[:, :, None] * rowk[:, None, :]
-        A = A.at[:, :, k].set(jnp.where(row[None, :, k] > k,
-                                        colk, A[:, :, k]))
-        return A
+        return A.at[:, :, k].set(jnp.where(row[None, :, k] > k,
+                                           colk, A[:, :, k]))
 
     A = lax.fori_loop(0, c, body, D)
     Lu = jnp.where(row[None] > col[None], A, 0.0) \
@@ -213,11 +563,9 @@ def panel_deltas_lu(Lx, Ux, widths, diag_row_start, below_row_start):
     L11, U11 = getrf_nopiv(D)
     BLraw = _win_gather(Lx, below_row_start, cp)
     BUraw = _win_gather(Ux, below_row_start, cp)
-    L21 = lax.linalg.triangular_solve(U11, BLraw * cm[:, None, :],
-                                      left_side=False, lower=False)
-    U12t = lax.linalg.triangular_solve(L11, BUraw * cm[:, None, :],
-                                       left_side=False, lower=True,
-                                       unit_diagonal=True, transpose_a=True)
+    L21 = trsm_right_upper(U11, BLraw * cm[:, None, :])
+    U12t = trsm_right_upper(jnp.swapaxes(L11, 1, 2),
+                            BUraw * cm[:, None, :], unit=True)
     on = cm[:, None, :] > 0
     U11t = jnp.swapaxes(U11, 1, 2)
     return (jnp.where(on, L11, DLraw) - DLraw,
@@ -293,7 +641,7 @@ def solve_fwd_level(L, x, widths, diag_row_start, below_row_start, xcols,
     """x[cols] = L11^{-1} x[cols];  x[below] -= L21 @ x[cols]."""
     L11, L21 = _panel_parts(L, widths, diag_row_start, below_row_start)
     b = x[_x_idx(x, xcols)]
-    y = lax.linalg.triangular_solve(L11, b, left_side=True, lower=True)
+    y = trsm_left_lower(L11, b)
     x = x.at[_x_idx(x, xcols)].set(y)
     upd = jnp.einsum("brc,bch->brh", L21, y, preferred_element_type=x.dtype)
     return x.at[_x_idx(x, xrows)].add(-upd)
@@ -309,8 +657,7 @@ def solve_bwd_level(L, x, widths, diag_row_start, below_row_start, xcols,
     L21c = jnp.conj(L21) if cplx else L21
     t = x[_x_idx(x, xcols)] - jnp.einsum("brc,brh->bch", L21c, yb,
                                          preferred_element_type=x.dtype)
-    z = lax.linalg.triangular_solve(L11, t, left_side=True, lower=True,
-                                    transpose_a=True, conjugate_a=cplx)
+    z = trsm_left_upper(_conj(jnp.swapaxes(L11, 1, 2)), t)
     return x.at[_x_idx(x, xcols)].set(z)
 
 
@@ -320,8 +667,7 @@ def solve_fwd_level_lu(Lx, x, widths, diag_row_start, below_row_start,
     """Forward solve on unit-L (ref LU solve :3592-3700, no divide)."""
     L11, L21 = _panel_parts(Lx, widths, diag_row_start, below_row_start)
     b = x[_x_idx(x, xcols)]
-    y = lax.linalg.triangular_solve(L11, b, left_side=True, lower=True,
-                                    unit_diagonal=True)
+    y = trsm_left_lower(L11, b, unit=True)
     x = x.at[_x_idx(x, xcols)].set(y)
     upd = jnp.einsum("brc,bch->brh", L21, y, preferred_element_type=x.dtype)
     return x.at[_x_idx(x, xrows)].add(-upd)
@@ -336,6 +682,5 @@ def solve_bwd_level_lu(Ux, x, widths, diag_row_start, below_row_start,
     yb = x[_x_idx(x, xrows)]
     t = x[_x_idx(x, xcols)] - jnp.einsum("brc,brh->bch", BU, yb,
                                          preferred_element_type=x.dtype)
-    z = lax.linalg.triangular_solve(DU, t, left_side=True, lower=True,
-                                    transpose_a=True)
+    z = trsm_left_upper(jnp.swapaxes(DU, 1, 2), t)
     return x.at[_x_idx(x, xcols)].set(z)

@@ -82,6 +82,11 @@ class FusedRunner:
 
     def __init__(self, plan, lu: bool = False,
                  calls_per_chunk: int = CALLS_PER_CHUNK):
+        from spfx.plan.schedule import PanelBucketC
+        if any(isinstance(pb, PanelBucketC)
+               for lp in plan.levels for pb in lp.panels):
+            raise ValueError(
+                "engine='fused' supports only Config(layout='rowwin') plans")
         self.lu = lu
         self.chunks = []
         for levels in chunk_levels(plan.levels, calls_per_chunk):
@@ -131,6 +136,11 @@ class FusedSolver:
 
     def __init__(self, plan, lu: bool = False,
                  calls_per_chunk: int = CALLS_PER_CHUNK):
+        from spfx.plan.schedule import PanelBucketC
+        if any(isinstance(pb, PanelBucketC)
+               for lp in plan.levels for pb in lp.panels):
+            raise ValueError(
+                "engine='fused' supports only Config(layout='rowwin') plans")
         fwd = _solve_chunk_fn("fwd_lu" if lu else "fwd")
         bwd = _solve_chunk_fn("bwd_lu" if lu else "bwd")
         self.fwd_chunks = self._build(chunk_levels(plan.levels,

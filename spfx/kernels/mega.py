@@ -70,25 +70,41 @@ def _collect(plan, solve_only: bool = False):
         chunk_ids.append(len(classes[cid]["rows"]))
         classes[cid]["rows"].append(host_arrays)
 
+    from spfx.plan.schedule import PanelBucketC, UpdateBucketC
     for lp in plan.levels:
         if not solve_only:
             for ub in lp.updates:
                 B = ub.kw.shape[0]
-                mp = ub.src_row_start.shape[1]
-                np_ = ub.tgt_cpos.shape[1]
-                add("U", ("U", B, mp, np_, ub.kp, ub.csp), (ub.kp, ub.csp),
-                    [ub.kw, ub.src_row_start, ub.tgt_row_start, ub.tgt_cpos])
+                if isinstance(ub, UpdateBucketC):
+                    add("UC", ("UC", B, ub.mp, ub.tgt_cpos.shape[1],
+                               ub.kp, ub.csp), (ub.mp, ub.kp, ub.csp),
+                        [ub.kw, ub.mrows, ub.src_start, ub.tgt_row_start,
+                         ub.tgt_cpos])
+                else:
+                    mp = ub.src_row_start.shape[1]
+                    np_ = ub.tgt_cpos.shape[1]
+                    add("U", ("U", B, mp, np_, ub.kp, ub.csp),
+                        (ub.kp, ub.csp),
+                        [ub.kw, ub.src_row_start, ub.tgt_row_start,
+                         ub.tgt_cpos])
         for pb in lp.panels:
             B = pb.widths.shape[0]
-            cp = pb.diag_row_start.shape[1]
-            rbp = pb.below_row_start.shape[1]
-            if solve_only:
-                add("P", ("P", B, cp, rbp), (),
-                    [pb.widths, pb.diag_row_start, pb.below_row_start,
-                     pb.xcols, pb.xrows])
+            if isinstance(pb, PanelBucketC):
+                key = ("PC", B, pb.cp, pb.rbp)
+                tabs = [pb.widths, pb.nbelow, pb.diag_start, pb.below_start]
+                if solve_only:
+                    tabs += [pb.xcols, pb.xrows]
+                add("PC", key, (pb.cp, pb.rbp), tabs)
             else:
-                add("P", ("P", B, cp, rbp), (),
-                    [pb.widths, pb.diag_row_start, pb.below_row_start])
+                cp = pb.diag_row_start.shape[1]
+                rbp = pb.below_row_start.shape[1]
+                if solve_only:
+                    add("P", ("P", B, cp, rbp), (),
+                        [pb.widths, pb.diag_row_start, pb.below_row_start,
+                         pb.xcols, pb.xrows])
+                else:
+                    add("P", ("P", B, cp, rbp), (),
+                        [pb.widths, pb.diag_row_start, pb.below_row_start])
 
     for c in classes:
         c["tables"] = [_stack([r[i] for r in c["rows"]])
@@ -147,6 +163,23 @@ class MegaRunner:
                                 E = blocks.update_rows_sym(
                                     L, kw, srs, cpos, kp, csp)
                             return blocks._win_scatter_add(L, trs, -E)
+                    elif kind == "UC":
+                        mp, kp, csp = static
+
+                        def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp):
+                            kw, mr, ss, trs, cpos = _take(tabs, i)
+                            with jax.default_matmul_precision(upd_prec):
+                                E = blocks.update_rows_sym_c(
+                                    L, kw, mr, ss, cpos, mp, kp, csp)
+                            return blocks._win_scatter_add(L, trs, -E)
+                    elif kind == "PC":
+                        cp, rbp = static
+
+                        def br(L, i, tabs=tabs, cp=cp, rbp=rbp):
+                            w, nb, ds, bs = _take(tabs, i)
+                            with jax.default_matmul_precision(fac_prec):
+                                return blocks.factor_panels_chol_c \
+                                    .__wrapped__(L, w, nb, ds, bs, cp, rbp)
                     else:
                         def br(L, i, tabs=tabs):
                             w, drs, brs_ = _take(tabs, i)
@@ -168,6 +201,28 @@ class MegaRunner:
                             Lx = blocks._win_scatter_add(Lx, trs, -EL)
                             Ux = blocks._win_scatter_add(Ux, trs, -EU)
                             return Lx, Ux
+                    elif kind == "UC":
+                        mp, kp, csp = static
+
+                        def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp):
+                            Lx, Ux = carry
+                            kw, mr, ss, trs, cpos = _take(tabs, i)
+                            with jax.default_matmul_precision(upd_prec):
+                                EL, EU = blocks.update_rows_lu_c(
+                                    Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
+                            Lx = blocks._win_scatter_add(Lx, trs, -EL)
+                            Ux = blocks._win_scatter_add(Ux, trs, -EU)
+                            return Lx, Ux
+                    elif kind == "PC":
+                        cp, rbp = static
+
+                        def br(carry, i, tabs=tabs, cp=cp, rbp=rbp):
+                            Lx, Ux = carry
+                            w, nb, ds, bs = _take(tabs, i)
+                            with jax.default_matmul_precision(fac_prec):
+                                return blocks.factor_panels_lu_c \
+                                    .__wrapped__(Lx, Ux, w, nb, ds, bs,
+                                                 cp, rbp)
                     else:
                         def br(carry, i, tabs=tabs):
                             Lx, Ux = carry
@@ -215,7 +270,7 @@ class MegaRunner:
                 init = jnp.zeros((storage,), dtype=vals.dtype)
                 return lax.fori_loop(0, reps, body, init)
 
-            self._run, self._run_rep = run, run_rep
+            self._run, self._run_rep, self._once = run, run_rep, once
         else:
             def once(vals_l, vals_u, asm_l, asm_u, cls_ids, chunk_ids, flat):
                 tabs_by_class = _unflatten(layout, flat)
@@ -252,7 +307,17 @@ class MegaRunner:
                         jnp.zeros((storage,), dtype=vals_u.dtype))
                 return lax.fori_loop(0, reps, body, init)
 
-            self._run, self._run_rep = run, run_rep
+            self._run, self._run_rep, self._once = run, run_rep, once
+
+    def trace_fn(self):
+        """Unjitted whole-factorization callable (vals[, vals_u]) -> factor,
+        with steps/tables closed over — for callers that jit it themselves
+        (e.g. the driver's compile check)."""
+        if not self.lu:
+            return lambda vals: self._once(vals, self._asm, *self._steps,
+                                           self._flat)
+        return lambda vl, vu: self._once(vl, vu, self._asm, self._asm_u,
+                                         *self._steps, self._flat)
 
     def run(self, vals, vals_u=None):
         """Factorize from permuted lower(-and-upper^T) entry values."""
@@ -290,19 +355,31 @@ class MegaSolver:
                            jnp.asarray(chunk_ids[::-1].copy()))
         layout = self._layout
         nclasses = len(classes)
+        kinds = [(c["kind"], c["static"]) for c in classes]
 
-        def make(prim):
+        def make(prim, prim_c):
             def scan_fn(F, x, cls_ids, chunk_ids, *flat):
                 tabs_by_class = _unflatten(layout, flat)
 
-                def mk(tabs):
-                    def br(x, i, tabs=tabs):
-                        w, drs, brs_, xcols, xrows = _take(tabs, i)
-                        with jax.default_matmul_precision(prec):
-                            return prim(F, x, w, drs, brs_, xcols, xrows)
+                def mk(kind, static, tabs):
+                    if kind == "PC":
+                        cp, rbp = static
+
+                        def br(x, i, tabs=tabs, cp=cp, rbp=rbp):
+                            w, nb, ds, bs, xcols, xrows = _take(tabs, i)
+                            with jax.default_matmul_precision(prec):
+                                return prim_c(F, x, w, nb, ds, bs,
+                                              xcols, xrows, cp, rbp, lu)
+                    else:
+                        def br(x, i, tabs=tabs):
+                            w, drs, brs_, xcols, xrows = _take(tabs, i)
+                            with jax.default_matmul_precision(prec):
+                                return prim(F, x, w, drs, brs_, xcols,
+                                            xrows)
                     return br
 
-                brs = [mk(t) for t in tabs_by_class]
+                brs = [mk(k, s, t)
+                       for (k, s), t in zip(kinds, tabs_by_class)]
 
                 def body(x, xs):
                     c, i = xs
@@ -314,12 +391,14 @@ class MegaSolver:
 
             return jax.jit(scan_fn, donate_argnums=1)
 
+        fwd_c = blocks.solve_fwd_level_c.__wrapped__
+        bwd_c = blocks.solve_bwd_level_c.__wrapped__
         if lu:
-            self._fwd = make(blocks.solve_fwd_level_lu.__wrapped__)
-            self._bwd = make(blocks.solve_bwd_level_lu.__wrapped__)
+            self._fwd = make(blocks.solve_fwd_level_lu.__wrapped__, fwd_c)
+            self._bwd = make(blocks.solve_bwd_level_lu.__wrapped__, bwd_c)
         else:
-            self._fwd = make(blocks.solve_fwd_level.__wrapped__)
-            self._bwd = make(blocks.solve_bwd_level.__wrapped__)
+            self._fwd = make(blocks.solve_fwd_level.__wrapped__, fwd_c)
+            self._bwd = make(blocks.solve_bwd_level.__wrapped__, bwd_c)
 
     def forward(self, F, x):
         return self._fwd(F, x, *self._fwd_steps, *self._flat)

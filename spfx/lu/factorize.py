@@ -102,12 +102,25 @@ class LUFactor:
                 x = self._solver.forward(self.Lx, x)
                 x = self._solver.backward(self.Ux, x)
             else:
+                from spfx.plan.schedule import PanelBucketC
                 for lp in self.plan.levels:
                     for pb in lp.panels:
-                        x = blocks.solve_fwd_level_lu(self.Lx, x, *pb.dev())
+                        if isinstance(pb, PanelBucketC):
+                            x = blocks.solve_fwd_level_c(
+                                self.Lx, x, *pb.dev(), cp=pb.cp, rbp=pb.rbp,
+                                lu=True)
+                        else:
+                            x = blocks.solve_fwd_level_lu(self.Lx, x,
+                                                          *pb.dev())
                 for lp in reversed(self.plan.levels):
                     for pb in lp.panels:
-                        x = blocks.solve_bwd_level_lu(self.Ux, x, *pb.dev())
+                        if isinstance(pb, PanelBucketC):
+                            x = blocks.solve_bwd_level_c(
+                                self.Ux, x, *pb.dev(), cp=pb.cp, rbp=pb.rbp,
+                                lu=True)
+                        else:
+                            x = blocks.solve_bwd_level_lu(self.Ux, x,
+                                                          *pb.dev())
         xh = np.asarray(x[:n])
         out = np.empty_like(xh)
         out[self.sym.perm] = xh
@@ -238,17 +251,27 @@ class LU:
                         calls_per_chunk=self.config.calls_per_chunk)
                 Lx, Ux = self._runner.run(Lx, Ux)
             else:
+                from spfx.plan.schedule import PanelBucketC, UpdateBucketC
                 upd_prec = self.config.update_precision \
                     or self.config.matmul_precision
                 for lp in self.plan.levels:
                     with jax.default_matmul_precision(upd_prec):
                         for ub in lp.updates:
-                            Lx, Ux = blocks.apply_updates_lu(
-                                Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
+                            if isinstance(ub, UpdateBucketC):
+                                Lx, Ux = blocks.apply_updates_lu_c(
+                                    Lx, Ux, *ub.dev(), mp=ub.mp, kp=ub.kp,
+                                    csp=ub.csp)
+                            else:
+                                Lx, Ux = blocks.apply_updates_lu(
+                                    Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
                     for pb in lp.panels:
                         d = pb.dev()
-                        Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0], d[1],
-                                                         d[2])
+                        if isinstance(pb, PanelBucketC):
+                            Lx, Ux = blocks.factor_panels_lu_c(
+                                Lx, Ux, *d[:4], cp=pb.cp, rbp=pb.rbp)
+                        else:
+                            Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0],
+                                                             d[1], d[2])
         return LUFactor(Araw, self.sym, self.plan, Lx, Ux, self.config,
                         solver=self._solver, row_perm=self.row_perm)
 

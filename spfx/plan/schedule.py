@@ -112,6 +112,56 @@ class UpdateBucket:
 
 
 @dataclasses.dataclass
+class PanelBucketC:
+    """Contig-layout panel batch: one contiguous window per task (stride ==
+    padded width), replacing per-row windows (see Config.layout)."""
+    sns: np.ndarray
+    widths: np.ndarray         # (B,) true column counts (0 for pad items)
+    nbelow: np.ndarray         # (B,) true below-row counts
+    diag_start: np.ndarray     # (B,) int32 flat start of rows 0..cp, -1 pad
+    below_start: np.ndarray    # (B,) int32 flat start of rows w..w+rbp, -1
+    xcols: np.ndarray          # (B, Cp) global columns (solve), -1
+    xrows: np.ndarray          # (B, Rbp) global below rows (solve), -1
+    cp: int                    # static padded width == storage stride
+    rbp: int                   # static padded below-row count
+    flops: float
+    _dev: tuple = None
+
+    def dev(self):
+        if self._dev is None:
+            import jax.numpy as jnp
+            self._dev = tuple(jnp.asarray(a) for a in (
+                self.widths, self.nbelow, self.diag_start, self.below_start,
+                self.xcols, self.xrows))
+        return self._dev
+
+
+@dataclasses.dataclass
+class UpdateBucketC:
+    """Contig-layout update batch: one contiguous (mp x kp) source window
+    per task (the N block is its leading rows); target scatter stays
+    row-windowed (the extend-add's irregularity lives there)."""
+    kw: np.ndarray             # (B,) true K (descendant width), 0 pad
+    mrows: np.ndarray          # (B,) true M rows
+    src_start: np.ndarray      # (B,) int32 flat start of source rows, -1
+    tgt_row_start: np.ndarray  # (B, Mp) int32, -1 invalid
+    tgt_cpos: np.ndarray       # (B, Np) int32 col index in target, -1 pad
+    mp: int                    # static source row window
+    kp: int                    # static source width == source stride
+    csp: int                   # static target width == target stride
+    flops: float
+    _dev: tuple = None
+
+    def dev(self):
+        if self._dev is None:
+            import jax.numpy as jnp
+            self._dev = tuple(jnp.asarray(a) for a in (
+                self.kw, self.mrows, self.src_start, self.tgt_row_start,
+                self.tgt_cpos))
+        return self._dev
+
+
+@dataclasses.dataclass
 class LevelPlan:
     panels: List[PanelBucket]
     updates: List[UpdateBucket]
@@ -128,10 +178,11 @@ class FactorPlan:
     assembly_idx_u: np.ndarray | None = None  # LU: U^T panel positions for
     #                                           strict-upper A entries
     strides: np.ndarray | None = None  # (nsuper,) padded panel widths Wp
+    slack: int = SLACK              # trailing zero slots >= max task window
 
     @property
     def storage(self) -> int:
-        return self.xsize + SLACK
+        return self.xsize + self.slack
 
 
 def _batch_quantum(total: int, per_item_elems: int, budget: int,
@@ -180,10 +231,11 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     batched schedule (the TPU-era analyze_supernodal stages e-h)."""
     n = sym.n
     nsuper = sym.nsuper
+    contig = config.layout == "contig"
     W = np.diff(sym.sn_start).astype(np.int64)
     R = np.diff(sym.sn_ptr).astype(np.int64)
     lo = config.pad_min
-    if config.stride_padding:
+    if contig or config.stride_padding:
         Wp = np.asarray([_pad2(int(w), lo) for w in W], dtype=np.int64)
     else:
         Wp = W.copy()     # stride == true width; windows overlap row tails
@@ -194,6 +246,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         raise ValueError(f"factor too large for int32 indexing: {xsize}")
     first_col = sym.sn_start[:-1]
     rowpos = _row_position_lookup(sym)
+    slack = SLACK
 
     # ---------------- panel buckets per level ---------------------------
     nlev = int(sym.sn_level.max()) + 1 if nsuper else 0
@@ -206,9 +259,16 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                     np.searchsorted(lvl_sorted, lv, side="right")]
         w, r = W[sns], R[sns]
         clo = max(lo, config.class_min)
-        pkeys = np.stack([[_pad2(int(a), clo), _pad2(b, clo)]
-                          for a, b in zip(Wp[sns], r - w)]) \
-            if len(sns) else np.zeros((0, 2), np.int64)
+        if contig:
+            # class = (storage stride, padded below rows): windows are
+            # whole contiguous blocks, so cp must equal the stride
+            pkeys = np.stack([[int(a), _pad2(int(b), clo) if b else 0]
+                              for a, b in zip(Wp[sns], r - w)]) \
+                if len(sns) else np.zeros((0, 2), np.int64)
+        else:
+            pkeys = np.stack([[_pad2(int(a), clo), _pad2(b, clo)]
+                              for a, b in zip(Wp[sns], r - w)]) \
+                if len(sns) else np.zeros((0, 2), np.int64)
         for key in (np.unique(pkeys, axis=0) if len(sns) else []):
             cp, rbp = int(key[0]), int(key[1])
             sel = sns[(pkeys[:, 0] == cp) & (pkeys[:, 1] == rbp)]
@@ -216,9 +276,11 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                                 config.max_gather_elems,
                                 config.batch_floor_elems,
                                 config.max_pad_ratio)
+            slack = max(slack, (cp + rbp) * cp)
             for c0 in range(0, len(sel), qb):
-                pb = _make_panel_bucket(sel[c0:c0 + qb], W, Wp, R, offsets,
-                                        first_col, sym, cp, rbp, qb)
+                mk = _make_panel_bucket_c if contig else _make_panel_bucket
+                pb = mk(sel[c0:c0 + qb], W, Wp, R, offsets,
+                        first_col, sym, cp, rbp, qb)
                 levels[lv].panels.append(pb)
                 total_flops += pb.flops
 
@@ -261,7 +323,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             - first_col[t_s]
         t_span = t_cmax - t_cmin + 1
         clo = max(lo, config.class_min)
-        if config.stride_padding:
+        if contig or config.stride_padding:
             kcls = list(Wp[t_d])        # K class == source storage stride
             ccls = list(Wp[t_s])        # Csp class == target storage stride
             t_cmin = np.zeros_like(t_cmin)
@@ -288,8 +350,10 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                     len(sel), mp * kp + mp * np_ + (mp + np_) * csp,
                     config.max_gather_elems, config.batch_floor_elems,
                     config.max_pad_ratio)
+                slack = max(slack, mp * kp)
+                mku = _make_update_bucket_c if contig else _make_update_bucket
                 for c0 in range(0, len(sel), qb):
-                    ub = _make_update_bucket(
+                    ub = mku(
                         sel[c0:c0 + qb], t_d, t_s, t_lpos, t_M, t_N, t_K,
                         Wp, R, offsets, first_col, sym, rowpos,
                         mp, np_, kp, csp, qb, t_cmin)
@@ -316,10 +380,13 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         # (ref LU loadA, LU/Source/SparseFrame.c:2478-2536).
         assembly_idx_u = entry_positions(sp.tril(Ap.T, -1).tocsc())
 
+    if xsize + slack >= 2**31:
+        raise ValueError(f"factor too large for int32 indexing: {xsize}")
     return FactorPlan(n=n, xsize=xsize, levels=levels,
                       assembly_idx=assembly_idx, offsets=offsets,
                       flops=(2.0 if lu else 1.0) * total_flops,
-                      assembly_idx_u=assembly_idx_u, strides=Wp)
+                      assembly_idx_u=assembly_idx_u, strides=Wp,
+                      slack=slack)
 
 
 def _pad_batch(arrs, B, Bq, fills):
@@ -355,6 +422,68 @@ def _make_panel_bucket(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
     arrs = _pad_batch([w, diag_row_start, below_row_start, xcols, xrows],
                       B, qb, [0, -1, -1, -1, -1])
     return PanelBucket(sel, *(a.astype(i32) for a in arrs), flops)
+
+
+def _make_panel_bucket_c(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
+                         qb=None):
+    """Contig-layout panel bucket: one (cp x cp) diag window at the panel
+    base and one (rbp x cp) below window at row w — single starts per task
+    (requires stride == cp, i.e. Wp[sel] == cp)."""
+    B = len(sel)
+    qb = pad_pow2(B, 1) if qb is None else qb
+    w, r, off = W[sel], R[sel], offsets[sel]
+    nb = r - w
+    diag_start = off
+    below_start = off + w * cp
+    ci = np.arange(cp, dtype=np.int64)[None, :]
+    vc = ci < w[:, None]
+    xcols = np.where(vc, first_col[sel][:, None] + ci, -1)
+    if rbp:
+        ri = np.arange(rbp, dtype=np.int64)[None, :]
+        vr = ri < nb[:, None]
+        pat_idx = np.minimum(sym.sn_ptr[sel][:, None] + w[:, None] + ri,
+                             len(sym.sn_rows) - 1)
+        xrows = np.where(vr, sym.sn_rows[pat_idx], -1)
+    else:
+        xrows = np.zeros((B, 0), np.int64)
+    flops = float((w.astype(float)**3 / 3.0
+                   + nb.astype(float) * w.astype(float)**2).sum())
+    arrs = _pad_batch([w, nb, diag_start, below_start, xcols, xrows],
+                      B, qb, [0, 0, -1, -1, -1, -1])
+    return PanelBucketC(sel, *(a.astype(np.int32) for a in arrs),
+                        cp, rbp, flops)
+
+
+def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
+                          Wp, R, offsets, first_col, sym, rowpos,
+                          mp, np_, kp, csp, qb=None, t_cmin=None):
+    """Contig-layout update bucket: one (mp x kp) source window per task
+    (requires kp == Wp[d], csp == Wp[s]); row-windowed target scatter."""
+    B = len(sel)
+    qb = pad_pow2(B, 1) if qb is None else qb
+    d, s = t_d[sel], t_s[sel]
+    lpos, M, N = t_lpos[sel], t_M[sel], t_N[sel]
+    src_start = offsets[d] + lpos * Wp[d]
+    mi = np.arange(mp, dtype=np.int64)[None, :]
+    vm = mi < M[:, None]
+    pat = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + mi,
+                     len(sym.sn_rows) - 1)
+    grow = sym.sn_rows[pat]
+    tpos = rowpos(np.broadcast_to(s[:, None], grow.shape).ravel(),
+                  grow.ravel()).reshape(grow.shape)
+    tgt_row_start = np.where(vm & (tpos >= 0),
+                             offsets[s][:, None] + tpos * Wp[s][:, None], -1)
+    ni = np.arange(np_, dtype=np.int64)[None, :]
+    vn = ni < N[:, None]
+    patn = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + ni,
+                      len(sym.sn_rows) - 1)
+    q = sym.sn_rows[patn]
+    tgt_cpos = np.where(vn, q - first_col[s][:, None], -1)
+    flops = float(2.0 * (M.astype(float) * N * t_K[sel]).sum())
+    arrs = _pad_batch([t_K[sel], M, src_start, tgt_row_start, tgt_cpos],
+                      B, qb, [0, 0, -1, -1, -1])
+    return UpdateBucketC(*(a.astype(np.int32) for a in arrs),
+                         mp, kp, csp, flops)
 
 
 def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,

@@ -57,9 +57,19 @@ class Config:
     #                                   (near-zero FLOPs, ~40% of all calls
     #                                   at 48^3) into one, trading dead
     #                                   padded lanes for dispatches
-    stride_padding: bool = False      # pad panel storage stride to the class
-    #                                   grid (windows==stride; measured slower
-    #                                   on the XLA path, kept for Pallas)
+    # Memory layout of the windowed gathers/scatters:
+    # - "contig" (default): panel storage stride == pow2-padded width, so a
+    #   panel's diag block, its below block, and every update task's source
+    #   rows are each ONE contiguous window — one transfer descriptor per
+    #   task instead of one per row. Windowed gathers on TPU are descriptor-
+    #   rate-bound (~75ns/descriptor measured), so per-row windows cap
+    #   update/panel traffic at single-digit GB/s; per-task windows move
+    #   whole blocks per descriptor.
+    # - "rowwin": round-1 layout, one window per panel row (stride == true
+    #   width, less padding memory).
+    layout: str = "contig"
+    stride_padding: bool = False      # (rowwin only) pad stride to the class
+    #                                   grid (windows==stride)
     update_windowing: bool = False    # expand/scatter updates only over the
     #                                   [cmin, cmax] target-column span
     #                                   (smaller one-hot + 4x less scatter
