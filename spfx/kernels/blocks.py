@@ -261,7 +261,22 @@ def _row_mask(nrows, rp, dtype):
 
 def panel_deltas_chol_c(L, widths, nbelow, diag_start, below_start,
                         cp: int, rbp: int):
-    """Contig-layout Cholesky panel deltas (cf. panel_deltas_chol)."""
+    """Contig-layout Cholesky panel deltas (cf. panel_deltas_chol).
+
+    On TPU, panels up to LANES_CP_MAX wide run as one fused batch-in-lanes
+    Pallas kernel (VMEM-resident intermediates, batch on the VPU lane axis —
+    see pallas_blocks); wider panels fall back to the XLA expanders."""
+    from spfx.kernels import pallas_blocks
+    if _unrolled() and not jnp.iscomplexobj(L) \
+            and cp <= pallas_blocks.LANES_CP_MAX:
+        Draw = _task_gather(L, diag_start, cp, cp)
+        DrawT = jnp.transpose(Draw, (1, 2, 0))
+        BrawT = jnp.transpose(_task_gather(L, below_start, rbp, cp),
+                              (1, 2, 0)) if rbp \
+            else jnp.zeros((0, cp, widths.shape[0]), L.dtype)
+        ddT, dbT = pallas_blocks.chol_panel_deltas_lanes(
+            widths, nbelow, DrawT, BrawT, cp=cp, rbp=rbp)
+        return jnp.transpose(ddT, (2, 0, 1)), jnp.transpose(dbT, (2, 0, 1))
     cm = _col_mask(widths, cp, L.dtype)                    # (B, Cp)
     Draw = _task_gather(L, diag_start, cp, cp)             # (B, Cp, Cp)
     # rows >= w of the diag window hold the panel's below-block data (the
@@ -270,13 +285,18 @@ def panel_deltas_chol_c(L, widths, nbelow, diag_start, below_start,
     # (otherwise pivots 1 - sum(L21^2) can go negative -> NaN)
     D = Draw * cm[:, None, :] * cm[:, :, None]
     D = D + jnp.eye(cp, dtype=L.dtype)[None] * (1.0 - cm)[:, None, :]
-    L11 = potrf_batched(D)
+    # wide panels (cp > LANES_CP_MAX) use the XLA expanders: the few near-
+    # root buckets are matmul-dominated, and the unrolled recurrence would
+    # round-trip (B,C,C) through HBM per column
+    cplx = jnp.iscomplexobj(L)
+    L11 = lax.linalg.cholesky(D, symmetrize_input=False)
     dD = (L11 - Draw) * cm[:, None, :] * cm[:, :, None]    # rows<w, cols<w
     if rbp:
         Braw = _task_gather(L, below_start, rbp, cp)
         rm = _row_mask(nbelow, rbp, L.dtype)
-        L21 = trsm_right_upper(_conj(jnp.swapaxes(L11, 1, 2)),
-                               Braw * cm[:, None, :])
+        L21 = lax.linalg.triangular_solve(L11, Braw * cm[:, None, :],
+                                          left_side=False, lower=True,
+                                          transpose_a=True, conjugate_a=cplx)
         dB = (L21 - Braw) * cm[:, None, :] * rm[:, :, None]
     else:
         dB = jnp.zeros((widths.shape[0], 0, cp), L.dtype)
@@ -319,7 +339,24 @@ def apply_updates_sym_c(L, kw, mrows, src_start, tgt_row_start, tgt_cpos,
 
 def panel_deltas_lu_c(Lx, Ux, widths, nbelow, diag_start, below_start,
                       cp: int, rbp: int):
-    """Contig-layout LU panel deltas (cf. panel_deltas_lu)."""
+    """Contig-layout LU panel deltas (cf. panel_deltas_lu); fused
+    batch-in-lanes Pallas kernel on TPU (see panel_deltas_chol_c)."""
+    from spfx.kernels import pallas_blocks
+    if _unrolled() and not jnp.iscomplexobj(Lx) \
+            and cp <= pallas_blocks.LANES_CP_MAX:
+        t = lambda a: jnp.transpose(a, (1, 2, 0))
+        DLt = t(_task_gather(Lx, diag_start, cp, cp))
+        DUt = t(_task_gather(Ux, diag_start, cp, cp))
+        if rbp:
+            BLt = t(_task_gather(Lx, below_start, rbp, cp))
+            BUt = t(_task_gather(Ux, below_start, rbp, cp))
+        else:
+            BLt = jnp.zeros((0, cp, widths.shape[0]), Lx.dtype)
+            BUt = BLt
+        ddl, ddu, dbl, dbu = pallas_blocks.lu_panel_deltas_lanes(
+            widths, nbelow, DLt, DUt, BLt, BUt, cp=cp, rbp=rbp)
+        b = lambda a: jnp.transpose(a, (2, 0, 1))
+        return b(ddl), b(dbl), b(ddu), b(dbu)
     cm = _col_mask(widths, cp, Lx.dtype)
     row = lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
     col = lax.broadcasted_iota(jnp.int32, (cp, cp), 1)

@@ -80,6 +80,302 @@ def syrk_gemm_batched(A, B, slab: int = 32):
 # one serial potrf per matrix. Input (batch, c, c) with c small (<= 32).
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Fused supernodal panel factorization in BATCH-IN-LANES layout:
+# potrf(D) + L21 = B @ L11^-H in one kernel, intermediates resident in VMEM.
+#
+# Layout: tensors are (rows, cols, batch) so the VPU lane dimension is the
+# task batch. Every column step of the factorization recurrence is then a
+# STATIC SUBLANE slice (A[:, j, :]) — no cross-lane shuffles, no relayouts.
+# (Both the plain-XLA unrolled recurrence and a naive (batch, r, c)-layout
+# Pallas kernel measure a flat ~5-13ms per bucket call regardless of shape:
+# the former round-trips (B,C,C) through HBM per column, the latter pays a
+# Mosaic cross-lane shuffle per A[:, :, j] slice. This kernel does neither.)
+#
+# Two-phase grid (bi, ri): ri == 0 factors the diag block and leaves L11 in
+# scratch (TPU grids iterate sequentially; scratch persists), every ri step
+# triangular-solves one row block of the below panel against it. Replaces
+# cuSOLVER potrf + cuBLAS trsm (ref Cholesky/Source/SparseFrame.c:2795-2837).
+# --------------------------------------------------------------------------
+
+LANES_CP_MAX = 32          # lanes kernels cover panel widths up to this
+_LANE = 128
+
+
+def _lanes_masks(cp, w2, dtype):
+    """(cp, slab) column/row validity mask from (1, slab) width vector."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (cp, w2.shape[1]), 0)
+            < w2).astype(dtype)
+
+
+def _potrf_lanes(A):
+    """Unrolled Cholesky of (cp, cp, slab) in lanes layout; returns L11.
+    A must already be masked (invalid rows/cols zero, unit diag padding)."""
+    cp = A.shape[0]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (cp, A.shape[2]), 0)
+    cols = []
+    for j in range(cp):
+        colj = A[:, j, :]                              # (cp, slab)
+        piv = jax.lax.rsqrt(A[j:j + 1, j, :])          # (1, slab)
+        cj = jnp.where(ri >= j, colj * piv, 0.0)
+        ucj = jnp.where(ri > j, cj, 0.0)
+        A = A - cj[:, None, :] * ucj[None, :, :]
+        cols.append(cj)
+    return jnp.stack(cols, axis=1)                     # (cp, cp, slab)
+
+
+def _trsm_lanes(Mcol, acc, unit: bool):
+    """Solve X M = acc in lanes layout: acc (rblk, cp, slab); Mcol(j) must
+    return (cp, slab) = M[j, :] (the j-th row of the upper-triangular M)."""
+    cp = acc.shape[1]
+    ci = jax.lax.broadcasted_iota(jnp.int32, (cp, acc.shape[2]), 0)
+    cols = []
+    for j in range(cp):
+        mrow = Mcol(j)                                 # (cp, slab)
+        xj = acc[:, j, :] if unit \
+            else acc[:, j, :] / mrow[j:j + 1, :]
+        cols.append(xj)
+        tail = jnp.where(ci > j, mrow, 0.0)            # M[j, k], k > j
+        acc = acc - xj[:, None, :] * tail[None, :, :]
+    return jnp.stack(cols, axis=1)                     # (rblk, cp, slab)
+
+
+def _chol_panel_lanes_kernel(w_ref, nb_ref, d_ref, b_ref, dd_ref, db_ref,
+                             l11_ref):
+    cp = d_ref.shape[0]
+    ri = pl.program_id(1)
+    w2 = w_ref[...]                                    # (1, slab)
+    cm = _lanes_masks(cp, w2, d_ref.dtype)             # (cp, slab)
+
+    @pl.when(ri == 0)
+    def _():
+        Draw = d_ref[...]
+        D = Draw * cm[:, None, :] * cm[None, :, :]
+        eye = jnp.eye(cp, dtype=D.dtype)[:, :, None]
+        D = D + eye * (1.0 - cm)[None, :, :]
+        L11 = _potrf_lanes(D)
+        l11_ref[...] = L11
+        dd_ref[...] = (L11 - Draw) * cm[:, None, :] * cm[None, :, :]
+
+    rblk = b_ref.shape[0]
+    if rblk:
+        nb2 = nb_ref[...]                              # (1, slab)
+        Braw = b_ref[...]                              # (rblk, cp, slab)
+        L11 = l11_ref[...]
+        # X L11^T = B: M[j, k] = L11[k, j] -> row j of M is L11[:, j, :]
+        L21 = _trsm_lanes(lambda j: L11[:, j, :], Braw * cm[None, :, :],
+                          unit=False)
+        base = ri * rblk
+        rm = ((jax.lax.broadcasted_iota(
+            jnp.int32, (rblk, nb2.shape[1]), 0) + base)
+            < nb2).astype(Braw.dtype)
+        db_ref[...] = (L21 - Braw) * cm[None, :, :] * rm[:, None, :]
+
+
+def _lanes_slab(B: int, cp: int, rbp: int):
+    """Lane-count per grid step: fill the 128 lanes when the batch allows."""
+    s = 1
+    while s * 2 <= min(B, _LANE):
+        s *= 2
+    return s
+
+
+def _row_blk(rbp: int, cp: int, slab: int, budget: int = 1 << 20):
+    if rbp == 0:
+        return 0
+    r = max(1, budget // max(1, cp * slab * 4))
+    b = 1
+    while b * 2 <= min(r, rbp):
+        b *= 2
+    return b
+
+
+def _chol_diag_lanes_kernel(w_ref, d_ref, dd_ref):
+    cp = d_ref.shape[0]
+    w2 = w_ref[...]
+    cm = _lanes_masks(cp, w2, d_ref.dtype)
+    Draw = d_ref[...]
+    D = Draw * cm[:, None, :] * cm[None, :, :]
+    eye = jnp.eye(cp, dtype=D.dtype)[:, :, None]
+    D = D + eye * (1.0 - cm)[None, :, :]
+    L11 = _potrf_lanes(D)
+    dd_ref[...] = (L11 - Draw) * cm[:, None, :] * cm[None, :, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cp", "rbp"))
+def chol_panel_deltas_lanes(widths, nbelow, DrawT, BrawT, cp: int, rbp: int):
+    """Lanes-layout panel deltas: DrawT (cp, cp, B), BrawT (rbp, cp, B),
+    widths/nbelow (B,) -> (ddT (cp,cp,B), dbT (rbp,cp,B))."""
+    B = widths.shape[0]
+    slab = _lanes_slab(B, cp, rbp)
+    w2 = widths.reshape(1, B)
+    sblk = pl.BlockSpec((1, slab), lambda bi, ri: (0, bi),
+                        memory_space=pltpu.VMEM)
+    dblk = pl.BlockSpec((cp, cp, slab), lambda bi, ri: (0, 0, bi),
+                        memory_space=pltpu.VMEM)
+    if rbp == 0:
+        sblk1 = pl.BlockSpec((1, slab), lambda bi: (0, bi),
+                             memory_space=pltpu.VMEM)
+        dblk1 = pl.BlockSpec((cp, cp, slab), lambda bi: (0, 0, bi),
+                             memory_space=pltpu.VMEM)
+        dd = pl.pallas_call(
+            _chol_diag_lanes_kernel,
+            grid=(B // slab,),
+            in_specs=[sblk1, dblk1],
+            out_specs=dblk1,
+            out_shape=jax.ShapeDtypeStruct((cp, cp, B), DrawT.dtype),
+            interpret=_interpret(),
+        )(w2, DrawT)
+        return dd, jnp.zeros((0, cp, B), DrawT.dtype)
+    rblk = _row_blk(rbp, cp, slab)
+    grid = (B // slab, rbp // rblk)
+    nb2 = nbelow.reshape(1, B)
+    bblk = pl.BlockSpec((rblk, cp, slab), lambda bi, ri: (ri, 0, bi),
+                        memory_space=pltpu.VMEM)
+    dd, db = pl.pallas_call(
+        _chol_panel_lanes_kernel,
+        grid=grid,
+        in_specs=[sblk, sblk, dblk, bblk],
+        out_specs=[dblk, bblk],
+        out_shape=[
+            jax.ShapeDtypeStruct((cp, cp, B), DrawT.dtype),
+            jax.ShapeDtypeStruct((rbp, cp, B), DrawT.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((cp, cp, slab), DrawT.dtype)],
+        interpret=_interpret(),
+    )(w2, nb2, DrawT, BrawT)
+    return dd, db
+
+
+def _getrf_lanes(D, cm):
+    """Unrolled no-pivot LU of (cp, cp, slab) in lanes layout.
+    Returns (L11 cols-stacked, U11 rows-stacked)."""
+    cp = D.shape[0]
+    ri2 = jax.lax.broadcasted_iota(jnp.int32, (cp, D.shape[2]), 0)
+    A = D
+    lcols, urows = [], []
+    for k in range(cp):
+        piv = A[k:k + 1, k, :]                         # (1, slab)
+        urow = jnp.where(ri2 >= k, A[k, :, :], 0.0)    # (cp, slab)
+        lcol = jnp.where(ri2 > k, A[:, k, :] / piv, 0.0)
+        A = A - lcol[:, None, :] * urow[None, :, :]
+        lcols.append(lcol + (ri2 == k).astype(A.dtype))
+        urows.append(urow)
+    return jnp.stack(lcols, axis=1), jnp.stack(urows, axis=0)
+
+
+def _lu_diag_prep(dl_ref, du_ref, cm, cp):
+    DLraw = dl_ref[...]
+    DUraw = du_ref[...]
+    DL = DLraw * cm[:, None, :] * cm[None, :, :]
+    DU = DUraw * cm[:, None, :] * cm[None, :, :]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (cp, cp, 1), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (cp, cp, 1), 1)
+    D = jnp.where(rr >= cc, DL, 0.0) \
+        + jnp.where(rr < cc, jnp.swapaxes(DU, 0, 1), 0.0)
+    eye = jnp.eye(cp, dtype=D.dtype)[:, :, None]
+    return DLraw, DUraw, D + eye * (1.0 - cm)[None, :, :]
+
+
+def _lu_panel_lanes_kernel(w_ref, nb_ref, dl_ref, du_ref, bl_ref, bu_ref,
+                           ddl_ref, ddu_ref, dbl_ref, dbu_ref,
+                           l11_ref, u11_ref):
+    cp = dl_ref.shape[0]
+    ri = pl.program_id(1)
+    w2 = w_ref[...]
+    cm = _lanes_masks(cp, w2, dl_ref.dtype)            # (cp, slab)
+
+    @pl.when(ri == 0)
+    def _():
+        DLraw, DUraw, D = _lu_diag_prep(dl_ref, du_ref, cm, cp)
+        L11, U11 = _getrf_lanes(D, cm)
+        l11_ref[...] = L11
+        u11_ref[...] = U11
+        U11t = jnp.swapaxes(U11, 0, 1)
+        ddl_ref[...] = (L11 - DLraw) * cm[:, None, :] * cm[None, :, :]
+        ddu_ref[...] = (U11t - DUraw) * cm[:, None, :] * cm[None, :, :]
+
+    rblk = bl_ref.shape[0]
+    if rblk:
+        nb2 = nb_ref[...]
+        BLraw = bl_ref[...]
+        BUraw = bu_ref[...]
+        L11 = l11_ref[...]
+        U11 = u11_ref[...]
+        # L21: X U11 = BL; M[j, :] = U11[j, :, :]
+        L21 = _trsm_lanes(lambda j: U11[j, :, :], BLraw * cm[None, :, :],
+                          unit=False)
+        # U12t: X L11^T = BU (unit diag); M[j, :] = L11[:, j, :]
+        U12t = _trsm_lanes(lambda j: L11[:, j, :], BUraw * cm[None, :, :],
+                           unit=True)
+        base = ri * rblk
+        rm = ((jax.lax.broadcasted_iota(
+            jnp.int32, (rblk, nb2.shape[1]), 0) + base)
+            < nb2).astype(BLraw.dtype)
+        dbl_ref[...] = (L21 - BLraw) * cm[None, :, :] * rm[:, None, :]
+        dbu_ref[...] = (U12t - BUraw) * cm[None, :, :] * rm[:, None, :]
+
+
+def _lu_diag_lanes_kernel(w_ref, dl_ref, du_ref, ddl_ref, ddu_ref):
+    cp = dl_ref.shape[0]
+    w2 = w_ref[...]
+    cm = _lanes_masks(cp, w2, dl_ref.dtype)
+    DLraw, DUraw, D = _lu_diag_prep(dl_ref, du_ref, cm, cp)
+    L11, U11 = _getrf_lanes(D, cm)
+    U11t = jnp.swapaxes(U11, 0, 1)
+    ddl_ref[...] = (L11 - DLraw) * cm[:, None, :] * cm[None, :, :]
+    ddu_ref[...] = (U11t - DUraw) * cm[:, None, :] * cm[None, :, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cp", "rbp"))
+def lu_panel_deltas_lanes(widths, nbelow, DLt, DUt, BLt, BUt,
+                          cp: int, rbp: int):
+    """Lanes-layout LU panel deltas -> (ddlT, dduT, dblT, dbuT)."""
+    B = widths.shape[0]
+    slab = _lanes_slab(B, cp, rbp)
+    w2 = widths.reshape(1, B)
+    sblk = pl.BlockSpec((1, slab), lambda bi, ri: (0, bi),
+                        memory_space=pltpu.VMEM)
+    dblk = pl.BlockSpec((cp, cp, slab), lambda bi, ri: (0, 0, bi),
+                        memory_space=pltpu.VMEM)
+    if rbp == 0:
+        sblk1 = pl.BlockSpec((1, slab), lambda bi: (0, bi),
+                             memory_space=pltpu.VMEM)
+        dblk1 = pl.BlockSpec((cp, cp, slab), lambda bi: (0, 0, bi),
+                             memory_space=pltpu.VMEM)
+        ddl, ddu = pl.pallas_call(
+            _lu_diag_lanes_kernel,
+            grid=(B // slab,),
+            in_specs=[sblk1, dblk1, dblk1],
+            out_specs=[dblk1, dblk1],
+            out_shape=[jax.ShapeDtypeStruct((cp, cp, B), DLt.dtype),
+                       jax.ShapeDtypeStruct((cp, cp, B), DLt.dtype)],
+            interpret=_interpret(),
+        )(w2, DLt, DUt)
+        z = jnp.zeros((0, cp, B), DLt.dtype)
+        return ddl, ddu, z, z
+    rblk = _row_blk(rbp, cp, slab, budget=1 << 19)
+    grid = (B // slab, rbp // rblk)
+    nb2 = nbelow.reshape(1, B)
+    bblk = pl.BlockSpec((rblk, cp, slab), lambda bi, ri: (ri, 0, bi),
+                        memory_space=pltpu.VMEM)
+    ddl, ddu, dbl, dbu = pl.pallas_call(
+        _lu_panel_lanes_kernel,
+        grid=grid,
+        in_specs=[sblk, sblk, dblk, dblk, bblk, bblk],
+        out_specs=[dblk, dblk, bblk, bblk],
+        out_shape=[
+            jax.ShapeDtypeStruct((cp, cp, B), DLt.dtype),
+            jax.ShapeDtypeStruct((cp, cp, B), DLt.dtype),
+            jax.ShapeDtypeStruct((rbp, cp, B), DLt.dtype),
+            jax.ShapeDtypeStruct((rbp, cp, B), DLt.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((cp, cp, slab), DLt.dtype),
+                        pltpu.VMEM((cp, cp, slab), DLt.dtype)],
+        interpret=_interpret(),
+    )(w2, nb2, DLt, DUt, BLt, BUt)
+    return ddl, ddu, dbl, dbu
+
 def _chol_lanes_kernel(d_ref, l_ref):
     c = d_ref.shape[1]
     A = d_ref[...]                       # (slab, c, c)
