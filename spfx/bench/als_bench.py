@@ -60,9 +60,22 @@ def run(scale: str = "100k", iters: int = 8, mesh=None) -> dict:
     cfg = ALSConfig(rank=64, lam=0.3, alpha=10.0, user_cap=256, item_cap=512,
                     chunk=512, dtype="float32")
     m = ALSModel(train, cfg, mesh=mesh)
-    stats = m.fit(iters=iters, log=log)
-    steady = [s["examples_per_sec"] for s in stats[1:]] or \
-        [stats[0]["examples_per_sec"]]
+    # slope timing: (1 + iters) - (1) iterations, each inside one jitted
+    # program (traced count) -> cancels dispatch/sync round trips exactly
+    m.fit_steps(1)                     # compile + warm
+    jax.block_until_ready((m.U, m.V))
+    np.asarray(m.V[:1, :1])
+    t = {}
+    for r in (1, 1 + iters):
+        t0 = time.perf_counter()
+        m.fit_steps(r)
+        jax.block_until_ready((m.U, m.V))
+        np.asarray(m.V[:1, :1])
+        t[r] = time.perf_counter() - t0
+        log(f"fit_steps({r}): {t[r]:.3f}s")
+    per_iter = max(t[1 + iters] - t[1], 1e-9) / iters
+    steady = [train.nnz * 2 / per_iter]
+    log(f"slope per-iteration: {per_iter:.3f}s  {steady[0]:,.0f} examples/s")
     metrics = m.evaluate(test)
     out = {
         "examples_per_sec": float(np.median(steady)),

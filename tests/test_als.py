@@ -124,3 +124,20 @@ def test_split_disjoint():
     a = set(zip(tr.user_ids.tolist(), tr.item_ids.tolist()))
     b = set(zip(te.user_ids.tolist(), te.item_ids.tolist()))
     assert not (a & b)
+
+
+def test_fit_steps_matches_fit():
+    """The single-dispatch multi-iteration program computes the same tables
+    as the per-iteration step loop."""
+    inter = rdata.synthetic(num_users=48, num_items=32, avg_degree=6,
+                            rank=3, seed=7)
+    cfg = ALSConfig(rank=8, lam=0.2, alpha=5.0, user_cap=16, item_cap=32,
+                    chunk=8, iters=3)
+    m1 = ALSModel(inter, cfg)
+    m1.fit(iters=3)
+    m2 = ALSModel(inter, cfg)
+    m2.fit_steps(3)
+    np.testing.assert_allclose(np.asarray(m2.U), np.asarray(m1.U),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2.V), np.asarray(m1.V),
+                               rtol=1e-4, atol=1e-5)
