@@ -70,12 +70,14 @@ def measure_roofline(dtype, precision) -> float:
             0, reps, lambda i, x: jnp.dot(x, b, precision=precision), a)
 
     sync(mm_rep(jnp.int32(2), a, b))        # compile
-    t = {}
-    for r in (4, 20):
-        t0 = time.perf_counter()
-        sync(mm_rep(jnp.int32(r), a, b))
-        t[r] = time.perf_counter() - t0
-    dt = max(t[20] - t[4], 1e-9) / 16
+    dt = float("inf")
+    for _ in range(3):                      # best-of-3 (contention windows)
+        t = {}
+        for r in (4, 20):
+            t0 = time.perf_counter()
+            sync(mm_rep(jnp.int32(r), a, b))
+            t[r] = time.perf_counter() - t0
+        dt = min(dt, max(t[20] - t[4], 1e-9) / 16)
     return 2.0 * m**3 / dt / 1e9
 
 
@@ -126,21 +128,40 @@ def main():
     log(f"single-shot factorize (dispatch+fetch): {t_single:.3f}s "
         f"({ctx.plan.flops / t_single / 1e9:.1f} GFLOP/s incl. round trip)")
 
-    # slope timing: (reps+1 factorizations) - (1 factorization), in-jit
+    # slope timing: (reps+1 factorizations) - (1 factorization), in-jit.
+    # The chip is multi-tenant and its effective throughput varies >50x
+    # between contention windows (matmul roofline measured 0.2..37 TFLOP/s
+    # across one session), so sample the slope several times across a
+    # bounded window and keep the best (least-contended) sample.
+    window = float(os.environ.get("SPFX_BENCH_WINDOW", "420"))
     vals = ctx.entry_values(A)
     runner = ctx._runner
     sync_sum(runner.run_repeat(1, *vals)[0] if kind == "lu"
              else runner.run_repeat(1, *vals))    # compile rep program
-    t = {}
-    for r in (1, 1 + reps):
-        t0 = time.perf_counter()
-        out = runner.run_repeat(r, *vals)
-        sync_sum(out[0] if kind == "lu" else out)
-        t[r] = time.perf_counter() - t0
-        log(f"run_repeat({r}): {t[r]:.3f}s")
-    dt = max(t[1 + reps] - t[1], 1e-9) / reps
+
+    def slope_once():
+        t = {}
+        for r in (1, 1 + reps):
+            t0 = time.perf_counter()
+            out = runner.run_repeat(r, *vals)
+            sync_sum(out[0] if kind == "lu" else out)
+            t[r] = time.perf_counter() - t0
+        return max(t[1 + reps] - t[1], 1e-9) / reps
+
+    t_start = time.perf_counter()
+    dt = slope_once()
+    log(f"slope sample 0: {dt:.3f}s/factorize")
+    i = 0
+    while time.perf_counter() - t_start < window:
+        left = window - (time.perf_counter() - t_start)
+        if left > 45:
+            time.sleep(min(30.0, left - 15))
+        i += 1
+        d = slope_once()
+        log(f"slope sample {i}: {d:.3f}s/factorize")
+        dt = min(dt, d)
     gflops = ctx.plan.flops / dt / 1e9
-    log(f"slope per-factorize: {dt:.3f}s  {gflops:.1f} GFLOP/s (device)")
+    log(f"best slope per-factorize: {dt:.3f}s  {gflops:.1f} GFLOP/s (device)")
 
     # correctness gate (reference-style residual, :3262) + solve timing
     b = synth_rhs(A)
