@@ -180,7 +180,12 @@ def _lanes_slab(B: int, cp: int, rbp: int):
     return s
 
 
-def _row_blk(rbp: int, cp: int, slab: int, budget: int = 1 << 20):
+def _row_blk(rbp: int, cp: int, slab: int, budget: int = 1 << 18):
+    """Below-panel rows per grid step. ``budget`` bounds the row-block's
+    bytes; the kernel's scoped-VMEM stack (double-buffered in/out blocks plus
+    the unrolled trsm intermediates) is a small multiple of it — measured on
+    v5e: budget 1<<20 (rblk=256 at cp=16, slab=64) hits 16.96M scoped > 16M
+    limit; 1<<18 leaves ~2x headroom with no measurable slowdown."""
     if rbp == 0:
         return 0
     r = max(1, budget // max(1, cp * slab * 4))
@@ -354,7 +359,7 @@ def lu_panel_deltas_lanes(widths, nbelow, DLt, DUt, BLt, BUt,
         )(w2, DLt, DUt)
         z = jnp.zeros((0, cp, B), DLt.dtype)
         return ddl, ddu, z, z
-    rblk = _row_blk(rbp, cp, slab, budget=1 << 19)
+    rblk = _row_blk(rbp, cp, slab, budget=1 << 17)
     grid = (B // slab, rbp // rblk)
     nb2 = nbelow.reshape(1, B)
     bblk = pl.BlockSpec((rblk, cp, slab), lambda bi, ri: (ri, 0, bi),
