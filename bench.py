@@ -2,7 +2,8 @@
 """spfx headline benchmark: supernodal sparse Cholesky numeric factorization
 throughput on one TPU chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line (possibly several times — the LAST one is the result;
+every reprint only refines the same measurement):
   {"metric": ..., "value": ..., "unit": "GFLOP/s", "vs_baseline": ...}
 
 vs_baseline is the fraction of the chip's *measured* dense-matmul f32
@@ -10,37 +11,73 @@ speed-of-light (same matmul precision as the solver), i.e. the
 fraction-of-roofline number BASELINE.md tracks. The reference publishes no
 numbers of its own (SURVEY.md §6), so roofline fraction is the baseline axis.
 
+Operational guarantees (round-2 failure was a timeout with NO output):
+- the JSON line is printed as soon as the FIRST valid slope sample exists,
+  then re-printed with the best sample at the end;
+- a SIGTERM/SIGINT handler prints the best-so-far JSON before dying, so even
+  a driver kill records a number;
+- total wall time is hard-capped (SPFX_BENCH_BUDGET, default 420s) and the
+  sampling window adapts to what the compile left over;
+- exactly ONE program is compiled (run_repeat serves both the single-shot
+  and the slope path), and the persistent compilation cache is enabled so
+  warm reruns skip XLA entirely.
+
 Measurement protocol (tunnel-proof): the chip is reached through a tunnel
 whose per-dispatch round trip has been observed anywhere from 55us to 1.8s
 depending on contention. Every timed quantity is therefore measured as a
 SLOPE between two in-jit repetition counts of a single-dispatch program
 (the mega engine runs the whole factorization as one lax.scan; rep count is
 a traced scalar), which cancels all constant per-dispatch overhead exactly.
-Single-shot wall latency is logged alongside for reference.
+The chip is also multi-tenant (matmul roofline observed 0.2..37 TFLOP/s
+across one session), so the slope is sampled repeatedly across the window
+and the best (least-contended) sample wins.
 
 Knobs (env):
-  SPFX_BENCH_GRID   3D grid edge (default 48 -> n=110592)
-  SPFX_BENCH_KIND   chol | lu (default chol)
-  SPFX_BENCH_REPS   slope repetition count (default 4)
+  SPFX_BENCH_GRID    3D grid edge (default 48 -> n=110592)
+  SPFX_BENCH_KIND    chol | lu (default chol)
+  SPFX_BENCH_REPS    slope repetition count (default 4)
+  SPFX_BENCH_BUDGET  total wall-time cap in seconds (default 420)
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-
 import numpy as np
-import jax
-import jax.numpy as jnp
-from jax import lax
+
+T0 = time.perf_counter()
+_result = {}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit():
+    if _result:
+        print(json.dumps(_result), flush=True)
+
+
+def _die(signum, frame):
+    log(f"signal {signum} at t={time.perf_counter() - T0:.0f}s; "
+        "emitting best-so-far")
+    emit()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _die)
+signal.signal(signal.SIGINT, _die)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def sync(arr) -> float:
@@ -57,7 +94,7 @@ def sync_sum(arr) -> float:
     return float(np.asarray(jnp.sum(arr)).real)
 
 
-def measure_roofline(dtype, precision) -> float:
+def measure_roofline(dtype, precision, samples: int = 2) -> float:
     """Measured dense-matmul speed of light at the solver's precision,
     via the same two-point slope protocol (dynamic in-jit rep count)."""
     m = 4096
@@ -71,7 +108,7 @@ def measure_roofline(dtype, precision) -> float:
 
     sync(mm_rep(jnp.int32(2), a, b))        # compile
     dt = float("inf")
-    for _ in range(3):                      # best-of-3 (contention windows)
+    for _ in range(samples):                # best-of-N (contention windows)
         t = {}
         for r in (4, 20):
             t0 = time.perf_counter()
@@ -85,6 +122,7 @@ def main():
     grid = int(os.environ.get("SPFX_BENCH_GRID", "48"))
     kind = os.environ.get("SPFX_BENCH_KIND", "chol")
     reps = int(os.environ.get("SPFX_BENCH_REPS", "4"))
+    budget = float(os.environ.get("SPFX_BENCH_BUDGET", "420"))
 
     from spfx.io import generate
     from spfx.utils.config import Config
@@ -107,82 +145,79 @@ def main():
     else:
         from spfx.chol.factorize import Cholesky as Ctx
     ctx = Ctx(A, config)
+    flops = ctx.plan.flops
     log(f"analyze {ctx.analyze_time:.2f}s plan {ctx.plan_time:.2f}s  "
         f"nsuper={ctx.sym.nsuper} levels={len(ctx.plan.levels)} "
-        f"nnzL={ctx.sym.nnzL} flops={ctx.plan.flops:.3e} "
+        f"nnzL={ctx.sym.nnzL} flops={flops:.3e} "
         f"storage={ctx.plan.storage * 4 / 1e6:.1f}MB")
 
-    # warmup factorize (compiles the single-dispatch mega program)
-    t0 = time.perf_counter()
-    f = ctx.factorize(A)
-    arr = f.L if kind == "chol" else f.Lx
-    sync(arr)
-    log(f"first factorize (compile+run): {time.perf_counter() - t0:.2f}s")
+    metric = f"sparse_{kind}_factorize_gflops_3dpoisson{grid}"
 
-    # single-shot wall latency (1 dispatch + 1 fetch round trip)
-    t0 = time.perf_counter()
-    f = ctx.factorize(A)
-    arr = f.L if kind == "chol" else f.Lx
-    sync(arr)
-    t_single = time.perf_counter() - t0
-    log(f"single-shot factorize (dispatch+fetch): {t_single:.3f}s "
-        f"({ctx.plan.flops / t_single / 1e9:.1f} GFLOP/s incl. round trip)")
+    # roofline first (cheap): vs_baseline is defined from the very first emit
+    roofline = measure_roofline(jnp.float32, config.matmul_precision)
+    log(f"measured f32({config.matmul_precision}) matmul roofline: "
+        f"{roofline:.0f} GFLOP/s  [t={time.perf_counter() - T0:.0f}s]")
 
-    # slope timing: (reps+1 factorizations) - (1 factorization), in-jit.
-    # The chip is multi-tenant and its effective throughput varies >50x
-    # between contention windows (matmul roofline measured 0.2..37 TFLOP/s
-    # across one session), so sample the slope several times across a
-    # bounded window and keep the best (least-contended) sample.
-    window = float(os.environ.get("SPFX_BENCH_WINDOW", "420"))
+    # compile + first run: run_repeat(1) IS the production program
     vals = ctx.entry_values(A)
+    t0 = time.perf_counter()
+    ctx.factorize(A)   # builds the runner; run == run_repeat(1)
     runner = ctx._runner
-    sync_sum(runner.run_repeat(1, *vals)[0] if kind == "lu"
-             else runner.run_repeat(1, *vals))    # compile rep program
+    out = runner.run_repeat(1, *vals)
+    sync_sum(out[0] if kind == "lu" else out)
+    log(f"first factorize (compile+run): {time.perf_counter() - t0:.2f}s  "
+        f"[t={time.perf_counter() - T0:.0f}s]")
 
     def slope_once():
         t = {}
         for r in (1, 1 + reps):
             t0 = time.perf_counter()
-            out = runner.run_repeat(r, *vals)
-            sync_sum(out[0] if kind == "lu" else out)
+            o = runner.run_repeat(r, *vals)
+            sync_sum(o[0] if kind == "lu" else o)
             t[r] = time.perf_counter() - t0
-        return max(t[1 + reps] - t[1], 1e-9) / reps
+        return max(t[1 + reps] - t[1], 1e-9) / reps, t[1 + reps] + t[1]
 
-    t_start = time.perf_counter()
-    dt = slope_once()
-    log(f"slope sample 0: {dt:.3f}s/factorize")
+    best = float("inf")
     i = 0
-    while time.perf_counter() - t_start < window:
-        left = window - (time.perf_counter() - t_start)
-        if left > 45:
-            time.sleep(min(30.0, left - 15))
+    while True:
+        left = budget - (time.perf_counter() - T0)
+        if i > 0 and (left <= 0 or best < float("inf") and left < 0.3 * best):
+            break
+        dt, cost = slope_once()
+        best = min(best, dt)
+        log(f"slope sample {i}: {dt:.3f}s/factorize "
+            f"(best {best:.3f}, sample cost {cost:.1f}s, "
+            f"t={time.perf_counter() - T0:.0f}s)")
+        _result.update({
+            "metric": metric,
+            "value": round(flops / best / 1e9, 2),
+            "unit": "GFLOP/s",
+            "vs_baseline": round(flops / best / 1e9 / roofline, 4),
+        })
+        if i == 0:
+            emit()           # a number is on the record from here on
         i += 1
-        d = slope_once()
-        log(f"slope sample {i}: {d:.3f}s/factorize")
-        dt = min(dt, d)
-    gflops = ctx.plan.flops / dt / 1e9
-    log(f"best slope per-factorize: {dt:.3f}s  {gflops:.1f} GFLOP/s (device)")
 
-    # correctness gate (reference-style residual, :3262) + solve timing
-    b = synth_rhs(A)
-    x = f.solve(b)          # refined solve (host C++ backend by default)
-    t0 = time.perf_counter()
-    f.solve(b)
-    log(f"refined solve: {time.perf_counter() - t0:.3f}s")
-    res = scaled_residual(A, x, b)
-    log(f"scaled residual: {res:.3e}")
-    if not res < 1e-10:
-        log("RESIDUAL GATE FAILED")
+    gflops = flops / best / 1e9
+    log(f"best slope per-factorize: {best:.3f}s  {gflops:.1f} GFLOP/s "
+        f"({gflops / roofline * 100:.1f}% of measured roofline)")
 
-    roofline = measure_roofline(jnp.float32, config.matmul_precision)
-    log(f"measured f32(highest) matmul roofline: {roofline:.0f} GFLOP/s")
+    # correctness gate (reference-style residual, SparseFrame.c:3262)
+    if budget - (time.perf_counter() - T0) > 30:
+        f = ctx.factorize(A)
+        b = synth_rhs(A)
+        t0 = time.perf_counter()
+        x = f.solve(b)          # refined solve (host C++ backend by default)
+        log(f"refined solve: {time.perf_counter() - t0:.3f}s")
+        res = scaled_residual(A, x, b)
+        log(f"scaled residual: {res:.3e}")
+        if not res < 1e-10:
+            log("RESIDUAL GATE FAILED")
+    else:
+        log("skipping residual gate (out of budget); "
+            "tests/test_cholesky.py covers it")
 
-    print(json.dumps({
-        "metric": f"sparse_{kind}_factorize_gflops_3dpoisson{grid}",
-        "value": round(gflops, 2),
-        "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / roofline, 4),
-    }))
+    emit()
 
 
 if __name__ == "__main__":

@@ -55,17 +55,25 @@ def _collect(plan, solve_only: bool = False):
 
     Returns (classes, cls_ids, chunk_ids) where classes is a list of
     dicts {kind, static, tables(list of stacked host arrays)}.
+
+    The class key is the padded SHAPE only — NOT the batch size: chunks of
+    the same shape but smaller batch are padded with dead tasks (width 0 /
+    start -1, which every kernel masks to no-ops) up to the class max. One
+    compiled switch branch per shape class is what keeps whole-program
+    compile time O(#shapes); per-(shape, B) branches measured 65 classes at
+    16^3 / 150 at 32^3 and 200-600s XLA time.
     """
     key_to_cid = {}
     classes = []
     cls_ids, chunk_ids = [], []
 
-    def add(kind, key, static, host_arrays):
+    def add(kind, key, static, host_arrays, fills):
         cid = key_to_cid.get(key)
         if cid is None:
             cid = len(classes)
             key_to_cid[key] = cid
-            classes.append({"kind": kind, "static": static, "rows": []})
+            classes.append({"kind": kind, "static": static, "rows": [],
+                            "fills": fills})
         cls_ids.append(cid)
         chunk_ids.append(len(classes[cid]["rows"]))
         classes[cid]["rows"].append(host_arrays)
@@ -74,42 +82,53 @@ def _collect(plan, solve_only: bool = False):
     for lp in plan.levels:
         if not solve_only:
             for ub in lp.updates:
-                B = ub.kw.shape[0]
                 if isinstance(ub, UpdateBucketC):
-                    add("UC", ("UC", B, ub.mp, ub.tgt_cpos.shape[1],
+                    add("UC", ("UC", ub.mp, ub.tgt_cpos.shape[1],
                                ub.kp, ub.csp), (ub.mp, ub.kp, ub.csp),
                         [ub.kw, ub.mrows, ub.src_start, ub.tgt_row_start,
-                         ub.tgt_cpos])
+                         ub.tgt_cpos], [0, 0, -1, -1, -1])
                 else:
                     mp = ub.src_row_start.shape[1]
                     np_ = ub.tgt_cpos.shape[1]
-                    add("U", ("U", B, mp, np_, ub.kp, ub.csp),
+                    add("U", ("U", mp, np_, ub.kp, ub.csp),
                         (ub.kp, ub.csp),
                         [ub.kw, ub.src_row_start, ub.tgt_row_start,
-                         ub.tgt_cpos])
+                         ub.tgt_cpos], [0, -1, -1, -1])
         for pb in lp.panels:
-            B = pb.widths.shape[0]
             if isinstance(pb, PanelBucketC):
-                key = ("PC", B, pb.cp, pb.rbp)
+                key = ("PC", pb.cp, pb.rbp)
                 tabs = [pb.widths, pb.nbelow, pb.diag_start, pb.below_start]
+                fills = [0, 0, -1, -1]
                 if solve_only:
                     tabs += [pb.xcols, pb.xrows]
-                add("PC", key, (pb.cp, pb.rbp), tabs)
+                    fills += [-1, -1]
+                add("PC", key, (pb.cp, pb.rbp), tabs, fills)
             else:
                 cp = pb.diag_row_start.shape[1]
                 rbp = pb.below_row_start.shape[1]
                 if solve_only:
-                    add("P", ("P", B, cp, rbp), (),
+                    add("P", ("P", cp, rbp), (),
                         [pb.widths, pb.diag_row_start, pb.below_row_start,
-                         pb.xcols, pb.xrows])
+                         pb.xcols, pb.xrows], [0, -1, -1, -1, -1])
                 else:
-                    add("P", ("P", B, cp, rbp), (),
-                        [pb.widths, pb.diag_row_start, pb.below_row_start])
+                    add("P", ("P", cp, rbp), (),
+                        [pb.widths, pb.diag_row_start, pb.below_row_start],
+                        [0, -1, -1])
 
     for c in classes:
-        c["tables"] = [_stack([r[i] for r in c["rows"]])
-                       for i in range(len(c["rows"][0]))]
-        del c["rows"]
+        Bmax = max(r[0].shape[0] for r in c["rows"])
+        padded = []
+        for r in c["rows"]:
+            B = r[0].shape[0]
+            if B == Bmax:
+                padded.append(r)
+            else:
+                padded.append([np.concatenate(
+                    [a, np.full((Bmax - B,) + a.shape[1:], f, a.dtype)])
+                    for a, f in zip(r, c["fills"])])
+        c["tables"] = [_stack([r[i] for r in padded])
+                       for i in range(len(padded[0]))]
+        del c["rows"], c["fills"]
     return classes, np.asarray(cls_ids, np.int32), \
         np.asarray(chunk_ids, np.int32)
 
@@ -255,10 +274,6 @@ class MegaRunner:
                 return L
 
             @jax.jit
-            def run(vals, asm, cls_ids, chunk_ids, *flat):
-                return once(vals, asm, cls_ids, chunk_ids, flat)
-
-            @jax.jit
             def run_rep(reps, vals, asm, cls_ids, chunk_ids, *flat):
                 # `reps` back-to-back factorizations inside one dispatch
                 # (benchmark path): a full-reduction data dependence chains
@@ -269,6 +284,13 @@ class MegaRunner:
 
                 init = jnp.zeros((storage,), dtype=vals.dtype)
                 return lax.fori_loop(0, reps, body, init)
+
+            # run == run_rep(1): ONE compiled program serves both the
+            # production path and the bench slope path (a separate plain jit
+            # doubled the dominant cold-start cost for nothing)
+            def run(vals, asm, cls_ids, chunk_ids, *flat):
+                return run_rep(jnp.int32(1), vals, asm, cls_ids, chunk_ids,
+                               *flat)
 
             self._run, self._run_rep, self._once = run, run_rep, once
         else:
@@ -290,12 +312,6 @@ class MegaRunner:
                 return carry
 
             @jax.jit
-            def run(vals_l, vals_u, asm_l, asm_u, cls_ids, chunk_ids,
-                    *flat):
-                return once(vals_l, vals_u, asm_l, asm_u, cls_ids,
-                            chunk_ids, flat)
-
-            @jax.jit
             def run_rep(reps, vals_l, vals_u, asm_l, asm_u, cls_ids,
                         chunk_ids, *flat):
                 def body(i, carry):
@@ -306,6 +322,11 @@ class MegaRunner:
                 init = (jnp.zeros((storage,), dtype=vals_l.dtype),
                         jnp.zeros((storage,), dtype=vals_u.dtype))
                 return lax.fori_loop(0, reps, body, init)
+
+            def run(vals_l, vals_u, asm_l, asm_u, cls_ids, chunk_ids,
+                    *flat):
+                return run_rep(jnp.int32(1), vals_l, vals_u, asm_l, asm_u,
+                               cls_ids, chunk_ids, *flat)
 
             self._run, self._run_rep, self._once = run, run_rep, once
 

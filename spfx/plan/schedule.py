@@ -254,6 +254,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     order = np.argsort(sym.sn_level, kind="stable")
     lvl_sorted = sym.sn_level[order]
     total_flops = 0.0
+    padf = _pad4 if config.class_granularity == "pow4" else _pad2
     for lv in range(nlev):
         sns = order[np.searchsorted(lvl_sorted, lv):
                     np.searchsorted(lvl_sorted, lv, side="right")]
@@ -266,7 +267,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                               for a, b in zip(Wp[sns], r - w)]) \
                 if len(sns) else np.zeros((0, 2), np.int64)
         else:
-            pkeys = np.stack([[_pad2(int(a), clo), _pad2(b, clo)]
+            pkeys = np.stack([[_pad2(int(a), clo), _pad2(int(b), clo)]
                               for a, b in zip(Wp[sns], r - w)]) \
                 if len(sns) else np.zeros((0, 2), np.int64)
         for key in (np.unique(pkeys, axis=0) if len(sns) else []):
@@ -308,7 +309,6 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         # the same shape class, so batches are fatter and calls fewer. The
         # numeric engines run a level's updates BEFORE its panel factors.
         t_level = sym.sn_level[t_s]
-        padf = _pad4 if config.class_granularity == "pow4" else _pad2
         # column windowing: an update touches only target columns
         # [cmin, cmax] (pattern rows are sorted, so the span is just the
         # first/last source row's position in the target). Expanding and
