@@ -46,7 +46,8 @@ def run_one(path: str, args) -> int:
             else "lu"
     cfg = spfx.Config(dtype=args.dtype, ordering=args.ordering,
                       refine_iters=args.refine,
-                      static_pivot=args.static_pivot)
+                      static_pivot=args.static_pivot,
+                      profile=args.profile)
     print(f"{path}: n={n} nnz={nnz} engine={engine} dtype={args.dtype}")
 
     t0 = time.perf_counter()
@@ -107,6 +108,9 @@ def main(argv=None) -> int:
                     help="iterative refinement sweeps on solve")
     ap.add_argument("--static-pivot", action="store_true",
                     help="greedy max-magnitude row matching before LU")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-phase timers; SPFX_PROFILE_DIR captures a "
+                         "jax.profiler trace around factorize")
     ap.add_argument("--resid-gate", type=float, default=1e-8,
                     help="exit nonzero if scaled residual exceeds this")
     ap.add_argument("--save-factor", default=None, metavar="DIR",

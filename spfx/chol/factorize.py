@@ -207,7 +207,9 @@ class Cholesky:
         return (jnp.asarray(low.data.astype(dtype)),)
 
     def factorize(self, A: sp.spmatrix) -> CholeskyFactor:
+        from spfx.utils.instrument import finish_factorize, profile_scope
         A = sp.csc_matrix(A)
+        t0 = time.perf_counter()
         # assembly (ref loadA): permute, take lower, scatter into flat panels
         # on device — only the nnz values cross the host->device link
         (vals,) = self.entry_values(A)
@@ -218,9 +220,11 @@ class Cholesky:
                 from spfx.kernels.mega import MegaRunner
                 self._runner = MegaRunner(self.plan, lu=False,
                                           config=self.config)
-            L = self._runner.run(vals)
-            return CholeskyFactor(A, self.sym, self.plan, L, self.config,
-                                  solver=self._solver)
+            with profile_scope(self.config, "factorize"):
+                L = self._runner.run(vals)
+            f = CholeskyFactor(A, self.sym, self.plan, L, self.config,
+                               solver=self._solver)
+            return finish_factorize(self, f, t0, L)
         if self._asm_idx is None:
             self._asm_idx = jnp.asarray(
                 self.plan.assembly_idx.astype(np.int32))
@@ -261,8 +265,9 @@ class Cholesky:
                         else:
                             L = blocks.factor_panels_chol(L, d[0], d[1],
                                                           d[2])
-        return CholeskyFactor(A, self.sym, self.plan, L, self.config,
-                              solver=self._solver)
+        f = CholeskyFactor(A, self.sym, self.plan, L, self.config,
+                           solver=self._solver)
+        return finish_factorize(self, f, t0, L)
 
 
 def cholesky(A: sp.spmatrix, config: Config = DEFAULT) -> CholeskyFactor:

@@ -218,8 +218,10 @@ class LU:
                 jnp.asarray(upt.data.astype(dtype)))
 
     def factorize(self, A: sp.spmatrix) -> LUFactor:
+        from spfx.utils.instrument import finish_factorize, profile_scope
         A = sp.csc_matrix(A)
         Araw = A
+        t0 = time.perf_counter()
         if self.row_perm is not None:
             A = sp.csc_matrix(A[self.row_perm])
         vals_l, vals_u = self.entry_values(A, permute_rows=False)
@@ -230,9 +232,11 @@ class LU:
                 from spfx.kernels.mega import MegaRunner
                 self._runner = MegaRunner(self.plan, lu=True,
                                           config=self.config)
-            Lx, Ux = self._runner.run(vals_l, vals_u)
-            return LUFactor(Araw, self.sym, self.plan, Lx, Ux, self.config,
-                            solver=self._solver, row_perm=self.row_perm)
+            with profile_scope(self.config, "factorize"):
+                Lx, Ux = self._runner.run(vals_l, vals_u)
+            f = LUFactor(Araw, self.sym, self.plan, Lx, Ux, self.config,
+                         solver=self._solver, row_perm=self.row_perm)
+            return finish_factorize(self, f, t0, Lx)
         if self._asm_idx is None:
             self._asm_idx = (
                 jnp.asarray(self.plan.assembly_idx.astype(np.int32)),
@@ -272,8 +276,9 @@ class LU:
                         else:
                             Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0],
                                                              d[1], d[2])
-        return LUFactor(Araw, self.sym, self.plan, Lx, Ux, self.config,
-                        solver=self._solver, row_perm=self.row_perm)
+        f = LUFactor(Araw, self.sym, self.plan, Lx, Ux, self.config,
+                     solver=self._solver, row_perm=self.row_perm)
+        return finish_factorize(self, f, t0, Lx)
 
 
 def lu(A: sp.spmatrix, config: Config = DEFAULT) -> LUFactor:

@@ -45,4 +45,10 @@ def order(A: sp.spmatrix, method: str = "auto") -> np.ndarray:
         return nested_dissection(A)
     if method == "amd":
         return amd(A)
+    if method == "camd":
+        # default constraint vector: every vertex in class 0, i.e. plain
+        # minimum degree through the constrained code path (callers with real
+        # constraints use spfx.ordering.camd directly — ref camd_l2 semantics,
+        # Cholesky/Source/SparseFrame.c:777-862)
+        return camd(A, np.zeros(n, dtype=np.int64))
     raise ValueError(f"unknown ordering method {method!r}")

@@ -125,8 +125,13 @@ class Config:
     calls_per_chunk: int = 24       # bucket calls per fused chunk
 
     # ---- misc -----------------------------------------------------------
-    validate: bool = False          # run residual validation after factorize
-    profile: bool = False           # per-phase wall timers (ref info.h:146-149)
+    # Run the reference-style scaled-residual check right after factorize
+    # (ref SparseFrame_validate :3141-3266); stored as factor.residual.
+    validate: bool = False
+    # Per-phase wall timers printed to stderr (ref info.h:146-149, report at
+    # :3427-3434); with SPFX_PROFILE_DIR set, also captures a jax.profiler
+    # device trace around factorize (ref cudaProfilerStart/Stop :3411-3415).
+    profile: bool = False
 
 
 DEFAULT = Config()
