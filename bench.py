@@ -154,9 +154,24 @@ def main():
     metric = f"sparse_{kind}_factorize_gflops_3dpoisson{grid}"
 
     # roofline first (cheap): vs_baseline is defined from the very first emit
-    roofline = measure_roofline(jnp.float32, config.matmul_precision)
-    log(f"measured f32({config.matmul_precision}) matmul roofline: "
-        f"{roofline:.0f} GFLOP/s  [t={time.perf_counter() - T0:.0f}s]")
+    try:
+        roofline = measure_roofline(jnp.float32, config.matmul_precision)
+        log(f"measured f32({config.matmul_precision}) matmul roofline: "
+            f"{roofline:.0f} GFLOP/s  [t={time.perf_counter() - T0:.0f}s]")
+    except Exception as e:                          # chip hiccup: don't die
+        roofline = 31000.0                          # last measured (r3) value
+        log(f"roofline measurement FAILED ({e!r}); "
+            f"using prior measured {roofline:.0f} GFLOP/s")
+
+    def record(per_fact: float, note: str):
+        _result.update({
+            "metric": metric,
+            "value": round(flops / per_fact / 1e9, 2),
+            "unit": "GFLOP/s",
+            "vs_baseline": round(flops / per_fact / 1e9 / roofline, 4),
+        })
+        log(f"[{note}] {per_fact:.3f}s/factorize = "
+            f"{flops / per_fact / 1e9:.1f} GFLOP/s")
 
     # compile + first run: run_repeat(1) IS the production program
     vals = ctx.entry_values(A)
@@ -167,6 +182,14 @@ def main():
     sync_sum(out[0] if kind == "lu" else out)
     log(f"first factorize (compile+run): {time.perf_counter() - t0:.2f}s  "
         f"[t={time.perf_counter() - T0:.0f}s]")
+
+    # a valid (overhead-inclusive) sample goes on the record IMMEDIATELY:
+    # even if the chip dies during slope sampling, the run has a number
+    t0 = time.perf_counter()
+    out = runner.run_repeat(1, *vals)
+    sync_sum(out[0] if kind == "lu" else out)
+    record(time.perf_counter() - t0, "single-shot incl dispatch+fetch")
+    emit()
 
     def slope_once():
         t = {}
@@ -183,20 +206,23 @@ def main():
         left = budget - (time.perf_counter() - T0)
         if i > 0 and (left <= 0 or best < float("inf") and left < 0.3 * best):
             break
-        dt, cost = slope_once()
+        try:
+            dt, cost = slope_once()
+        except Exception as e:                      # TPU worker crash etc.
+            log(f"slope sample {i} FAILED ({e!r}); "
+                "keeping best-so-far result")
+            break
         best = min(best, dt)
         log(f"slope sample {i}: {dt:.3f}s/factorize "
             f"(best {best:.3f}, sample cost {cost:.1f}s, "
             f"t={time.perf_counter() - T0:.0f}s)")
-        _result.update({
-            "metric": metric,
-            "value": round(flops / best / 1e9, 2),
-            "unit": "GFLOP/s",
-            "vs_baseline": round(flops / best / 1e9 / roofline, 4),
-        })
+        record(best, f"slope sample {i}")
         if i == 0:
-            emit()           # a number is on the record from here on
+            emit()
         i += 1
+    if not best < float("inf"):
+        emit()
+        return
 
     gflops = flops / best / 1e9
     log(f"best slope per-factorize: {best:.3f}s  {gflops:.1f} GFLOP/s "

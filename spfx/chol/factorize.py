@@ -252,7 +252,7 @@ class Cholesky:
                             if isinstance(ub, UpdateBucketC):
                                 L = blocks.apply_updates_sym_c(
                                     L, *ub.dev(), mp=ub.mp, kp=ub.kp,
-                                    csp=ub.csp)
+                                    csp=ub.csp, srows=ub.slab_rows)
                             else:
                                 L = blocks.apply_updates_sym(L, *ub.dev(),
                                                              kp=ub.kp,

@@ -277,6 +277,15 @@ def panel_deltas_chol_c(L, widths, nbelow, diag_start, below_start,
         ddT, dbT = pallas_blocks.chol_panel_deltas_lanes(
             widths, nbelow, DrawT, BrawT, cp=cp, rbp=rbp)
         return jnp.transpose(ddT, (2, 0, 1)), jnp.transpose(dbT, (2, 0, 1))
+    if _unrolled() and not jnp.iscomplexobj(L) \
+            and cp <= pallas_blocks.WIDE_CP_MAX:
+        # wide panels: task-major blocked Pallas kernel (MXU trailing
+        # updates), no XLA linalg While loop inside the mega scan
+        Draw = _task_gather(L, diag_start, cp, cp)
+        Braw = _task_gather(L, below_start, rbp, cp) if rbp \
+            else jnp.zeros((widths.shape[0], 0, cp), L.dtype)
+        return pallas_blocks.chol_panel_deltas_wide(
+            widths, nbelow, Draw, Braw, cp=cp, rbp=rbp)
     cm = _col_mask(widths, cp, L.dtype)                    # (B, Cp)
     Draw = _task_gather(L, diag_start, cp, cp)             # (B, Cp, Cp)
     # rows >= w of the diag window hold the panel's below-block data (the
@@ -330,11 +339,25 @@ def update_rows_sym_c(L, kw, mrows, src_start, tgt_cpos,
                       preferred_element_type=L.dtype)
 
 
-@partial(jax.jit, donate_argnums=0, static_argnames=("mp", "kp", "csp"))
-def apply_updates_sym_c(L, kw, mrows, src_start, tgt_row_start, tgt_cpos,
-                        mp: int, kp: int, csp: int):
+def extend_add_slab(L, slab_lo, tgt_lrow, E, srows: int, csp: int):
+    """Subtract update rows E (B, mp, csp) into the slab
+    L[slab_lo : slab_lo + srows*csp] viewed as (srows, csp), at sublane
+    indices tgt_lrow (B, mp); index < 0 drops. See
+    pallas_blocks.extend_add_rows for why this replaces scatter_add."""
+    from spfx.kernels import pallas_blocks
+    slab = lax.dynamic_slice(L, (slab_lo,), (srows * csp,)) \
+        .reshape(srows, csp)
+    slab = pallas_blocks.extend_add_rows(
+        slab, tgt_lrow.reshape(-1), E.reshape(-1, csp))
+    return lax.dynamic_update_slice(L, slab.reshape(-1), (slab_lo,))
+
+
+@partial(jax.jit, donate_argnums=0,
+         static_argnames=("mp", "kp", "csp", "srows"))
+def apply_updates_sym_c(L, kw, mrows, src_start, slab_lo, tgt_lrow,
+                        tgt_cpos, mp: int, kp: int, csp: int, srows: int):
     E = update_rows_sym_c(L, kw, mrows, src_start, tgt_cpos, mp, kp, csp)
-    return _win_scatter_add(L, tgt_row_start, -E)
+    return extend_add_slab(L, slab_lo[0], tgt_lrow, E, srows, csp)
 
 
 def panel_deltas_lu_c(Lx, Ux, widths, nbelow, diag_start, below_start,
@@ -357,6 +380,19 @@ def panel_deltas_lu_c(Lx, Ux, widths, nbelow, diag_start, below_start,
             widths, nbelow, DLt, DUt, BLt, BUt, cp=cp, rbp=rbp)
         b = lambda a: jnp.transpose(a, (2, 0, 1))
         return b(ddl), b(dbl), b(ddu), b(dbu)
+    if _unrolled() and not jnp.iscomplexobj(Lx) \
+            and cp <= pallas_blocks.WIDE_CP_MAX:
+        DLr = _task_gather(Lx, diag_start, cp, cp)
+        DUr = _task_gather(Ux, diag_start, cp, cp)
+        if rbp:
+            BLr = _task_gather(Lx, below_start, rbp, cp)
+            BUr = _task_gather(Ux, below_start, rbp, cp)
+        else:
+            BLr = jnp.zeros((widths.shape[0], 0, cp), Lx.dtype)
+            BUr = BLr
+        ddl, ddu, dbl, dbu = pallas_blocks.lu_panel_deltas_wide(
+            widths, nbelow, DLr, DUr, BLr, BUr, cp=cp, rbp=rbp)
+        return ddl, dbl, ddu, dbu
     cm = _col_mask(widths, cp, Lx.dtype)
     row = lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
     col = lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
@@ -420,13 +456,14 @@ def update_rows_lu_c(Lx, Ux, kw, mrows, src_start, tgt_cpos,
     return EL, EU
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("mp", "kp", "csp"))
-def apply_updates_lu_c(Lx, Ux, kw, mrows, src_start, tgt_row_start, tgt_cpos,
-                       mp: int, kp: int, csp: int):
+@partial(jax.jit, donate_argnums=(0, 1),
+         static_argnames=("mp", "kp", "csp", "srows"))
+def apply_updates_lu_c(Lx, Ux, kw, mrows, src_start, slab_lo, tgt_lrow,
+                       tgt_cpos, mp: int, kp: int, csp: int, srows: int):
     EL, EU = update_rows_lu_c(Lx, Ux, kw, mrows, src_start, tgt_cpos,
                               mp, kp, csp)
-    Lx = _win_scatter_add(Lx, tgt_row_start, -EL)
-    Ux = _win_scatter_add(Ux, tgt_row_start, -EU)
+    Lx = extend_add_slab(Lx, slab_lo[0], tgt_lrow, EL, srows, csp)
+    Ux = extend_add_slab(Ux, slab_lo[0], tgt_lrow, EU, srows, csp)
     return Lx, Ux
 
 

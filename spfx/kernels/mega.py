@@ -83,14 +83,18 @@ def _collect(plan, solve_only: bool = False):
         if not solve_only:
             for ub in lp.updates:
                 if isinstance(ub, UpdateBucketC):
-                    add("UC", ("UC", ub.mp, ub.tgt_cpos.shape[1],
-                               ub.kp, ub.csp), (ub.mp, ub.kp, ub.csp),
-                        [ub.kw, ub.mrows, ub.src_start, ub.tgt_row_start,
-                         ub.tgt_cpos], [0, 0, -1, -1, -1])
+                    # class key deliberately EXCLUDES np (= tgt_cpos width):
+                    # chunks with different true-N paddings share one switch
+                    # branch (tgt_cpos re-padded to the class max below) —
+                    # measured 183 -> ~110 classes at 48^3, and whole-program
+                    # compile time is ~linear in class count
+                    add("UC", ("UC", ub.mp, ub.kp, ub.csp, ub.slab_rows),
+                        (ub.mp, ub.kp, ub.csp, ub.slab_rows),
+                        [ub.kw, ub.mrows, ub.src_start, ub.slab_lo,
+                         ub.tgt_lrow, ub.tgt_cpos], [0, 0, -1, 0, -1, -1])
                 else:
                     mp = ub.src_row_start.shape[1]
-                    np_ = ub.tgt_cpos.shape[1]
-                    add("U", ("U", mp, np_, ub.kp, ub.csp),
+                    add("U", ("U", mp, ub.kp, ub.csp),
                         (ub.kp, ub.csp),
                         [ub.kw, ub.src_row_start, ub.tgt_row_start,
                          ub.tgt_cpos], [0, -1, -1, -1])
@@ -116,18 +120,26 @@ def _collect(plan, solve_only: bool = False):
                         [0, -1, -1])
 
     for c in classes:
-        Bmax = max(r[0].shape[0] for r in c["rows"])
+        ntab = len(c["rows"][0])
+        # pad every table to the class-wide max shape: the batch dim (chunks
+        # padded with dead tasks) AND trailing dims (e.g. tgt_cpos' np width
+        # differs across chunks merged into one class; -1 columns are
+        # dropped by the kernels' one-hot expansion)
+        shapes = [tuple(max(r[i].shape[d] for r in c["rows"])
+                        for d in range(c["rows"][0][i].ndim))
+                  for i in range(ntab)]
         padded = []
         for r in c["rows"]:
-            B = r[0].shape[0]
-            if B == Bmax:
-                padded.append(r)
-            else:
-                padded.append([np.concatenate(
-                    [a, np.full((Bmax - B,) + a.shape[1:], f, a.dtype)])
-                    for a, f in zip(r, c["fills"])])
+            row = []
+            for a, f, shp in zip(r, c["fills"], shapes):
+                if a.shape != shp:
+                    out = np.full(shp, f, a.dtype)
+                    out[tuple(slice(0, d) for d in a.shape)] = a
+                    a = out
+                row.append(a)
+            padded.append(row)
         c["tables"] = [_stack([r[i] for r in padded])
-                       for i in range(len(padded[0]))]
+                       for i in range(ntab)]
         del c["rows"], c["fills"]
     return classes, np.asarray(cls_ids, np.int32), \
         np.asarray(chunk_ids, np.int32)
@@ -183,14 +195,16 @@ class MegaRunner:
                                     L, kw, srs, cpos, kp, csp)
                             return blocks._win_scatter_add(L, trs, -E)
                     elif kind == "UC":
-                        mp, kp, csp = static
+                        mp, kp, csp, srows = static
 
-                        def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp):
-                            kw, mr, ss, trs, cpos = _take(tabs, i)
+                        def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                               srows=srows):
+                            kw, mr, ss, lo, lrow, cpos = _take(tabs, i)
                             with jax.default_matmul_precision(upd_prec):
                                 E = blocks.update_rows_sym_c(
                                     L, kw, mr, ss, cpos, mp, kp, csp)
-                            return blocks._win_scatter_add(L, trs, -E)
+                            return blocks.extend_add_slab(
+                                L, lo[0], lrow, E, srows, csp)
                     elif kind == "PC":
                         cp, rbp = static
 
@@ -221,16 +235,19 @@ class MegaRunner:
                             Ux = blocks._win_scatter_add(Ux, trs, -EU)
                             return Lx, Ux
                     elif kind == "UC":
-                        mp, kp, csp = static
+                        mp, kp, csp, srows = static
 
-                        def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp):
+                        def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                               srows=srows):
                             Lx, Ux = carry
-                            kw, mr, ss, trs, cpos = _take(tabs, i)
+                            kw, mr, ss, lo, lrow, cpos = _take(tabs, i)
                             with jax.default_matmul_precision(upd_prec):
                                 EL, EU = blocks.update_rows_lu_c(
                                     Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
-                            Lx = blocks._win_scatter_add(Lx, trs, -EL)
-                            Ux = blocks._win_scatter_add(Ux, trs, -EU)
+                            Lx = blocks.extend_add_slab(Lx, lo[0], lrow,
+                                                        EL, srows, csp)
+                            Ux = blocks.extend_add_slab(Ux, lo[0], lrow,
+                                                        EU, srows, csp)
                             return Lx, Ux
                     elif kind == "PC":
                         cp, rbp = static

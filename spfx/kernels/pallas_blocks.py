@@ -381,6 +381,432 @@ def lu_panel_deltas_lanes(widths, nbelow, DLt, DUt, BLt, BUt,
     )(w2, nb2, DLt, DUt, BLt, BUt)
     return ddl, ddu, dbl, dbu
 
+# --------------------------------------------------------------------------
+# Slab extend-add: apply update rows into a (slab_rows, csp) VMEM-resident
+# view of the factor with dynamic-SUBLANE row adds. Replaces XLA scatter_add
+# for the descendant->ancestor extend-add (ref mappedSubtract,
+# cuda_kernel.cu:62-124): XLA's TPU scatter costs ~2.6us/row (measured,
+# independent of uniqueness/sortedness); this loop costs VMEM-op time.
+# Target rows land on sublanes because every panel stride equals csp (the
+# slab is storage viewed 2-D), so no dynamic lane indexing is needed.
+# --------------------------------------------------------------------------
+
+
+def _extend_add_kernel(rows_ref, e_ref, slab_in_ref, slab_ref):
+    RE = e_ref.shape[0]
+    base = pl.program_id(0) * RE
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        slab_ref[...] = slab_in_ref[...]
+
+    def body(r, carry):
+        t = rows_ref[base + r]
+
+        @pl.when(t >= 0)
+        def _():
+            slab_ref[pl.ds(t, 1), :] = slab_ref[pl.ds(t, 1), :] \
+                - e_ref[pl.ds(r, 1), :]
+        return carry
+
+    jax.lax.fori_loop(0, RE, body, 0)
+
+
+def extend_add_rows(slab, rows, Ef):
+    """slab (Rs, csp) -= rows of Ef (RE_total, csp) at sublane indices
+    ``rows`` (RE_total,); row < 0 drops. Complex falls back to XLA scatter
+    (Mosaic has no complex support)."""
+    Rs, csp = slab.shape
+    total = Ef.shape[0]
+    if jnp.iscomplexobj(Ef):
+        sent = jnp.where(rows >= 0, rows, Rs)      # Rs is OOB -> dropped
+        return slab.at[sent].add(-Ef, mode="drop")
+    RE = min(total, max(512, (1 << 19) // csp))
+    pad = (-total) % RE
+    if pad:
+        Ef = jnp.concatenate([Ef, jnp.zeros((pad, csp), Ef.dtype)])
+        rows = jnp.concatenate([rows, jnp.full((pad,), -1, rows.dtype)])
+    return pl.pallas_call(
+        _extend_add_kernel,
+        grid=((total + pad) // RE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((RE, csp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((Rs, csp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((Rs, csp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rs, csp), Ef.dtype),
+        interpret=_interpret(),
+    )(rows, Ef, slab)
+
+
+# --------------------------------------------------------------------------
+# WIDE panel factorization (cp > LANES_CP_MAX): one task per grid step,
+# task-major (B, cp, cp) layout, blocked right-looking factorization with
+# 32-column panels — unrolled rank-1 recurrences inside a panel, MXU
+# dot_generals for the trailing update and the below-panel triangular solves.
+# Replaces the XLA linalg expanders (While loops, ~6.5 ms/step inside the
+# mega scan) for the near-root supernodes; the reference's analogue is its
+# blocked right-looking GPU potrf in 256-column blocks
+# (Cholesky/Source/SparseFrame.c:2838-2940) and blocked LU (:3384-3513).
+# --------------------------------------------------------------------------
+
+WIDE_CP_MAX = 256          # wide kernels cover panel widths up to this
+_WBLK = 32                 # column-panel width of the blocked factorization
+
+
+def _iota2(n, m, d):
+    return jax.lax.broadcasted_iota(jnp.int32, (n, m), d)
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=a.dtype)
+
+
+def _wide_potrf(D, cp: int):
+    """Blocked Cholesky of one (cp, cp) tile in VMEM. D must be masked
+    (invalid rows/cols zero, unit diagonal on padding) and SYMMETRIC.
+    Returns full A with L in the lower triangle.
+
+    The 32-column panel recurrence runs as a ``fori_loop`` whose body
+    extracts the pivot row/column with dynamic one-hot contractions (Mosaic
+    cannot index lanes dynamically; one-hot matvecs ride the MXU instead),
+    so compiled size is O(cp/32), not O(cp)."""
+    A = D
+    lane = _iota2(1, _WBLK, 1)
+    rows = _iota2(cp, 1, 0)
+    colsel0 = _iota2(_WBLK, 1, 0)
+    for s in range(0, cp, _WBLK):
+        e = s + _WBLK
+
+        def body(j, P, s=s):
+            g = s + j
+            colsel = (colsel0 == j).astype(P.dtype)        # (_WBLK, 1)
+            rowsel = (_iota2(1, cp, 1) == g).astype(P.dtype)
+            pcol = _dot(P, colsel, ((1,), (0,)))           # P[:, j] (cp, 1)
+            prow = _dot(rowsel, P, ((1,), (0,)))           # P[g, :] (1, _WBLK)
+            piv = jax.lax.rsqrt(_dot(rowsel, pcol, ((1,), (0,))))
+            lcol = pcol * piv * (rows >= g).astype(P.dtype)
+            # row g of the trailing symmetric block == column g
+            lrow = prow * piv * (lane > j).astype(P.dtype)
+            return jnp.where(lane == j, lcol, P - lcol * lrow)
+
+        P = jax.lax.fori_loop(0, _WBLK, body, A[:, s:e])
+        A = _wide_put(A, P, s, e, cp)
+        if e < cp:
+            # trailing update rides the MXU: A[:, e:] -= P @ P[e:, :]^T
+            # (all rows: keeps the trailing block symmetric, see above)
+            upd = _dot(P, A[e:, s:e], ((1,), (1,)))
+            A = jnp.concatenate([A[:, :e], A[:, e:] - upd], axis=1)
+    return A
+
+
+def _wide_put(A, P, s: int, e: int, cp: int, axis: int = 1):
+    """A[:, s:e] = P (or rows for axis=0) without zero-size concatenates."""
+    parts = []
+    if s:
+        parts.append(A[:, :s] if axis == 1 else A[:s])
+    parts.append(P)
+    if e < cp:
+        parts.append(A[:, e:] if axis == 1 else A[e:])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
+
+
+def _wide_trsm(T, X, cp: int, unit: bool = False):
+    """Solve X M = B in-place-blocked, M = T upper triangular (T is the
+    transposed lower factor, resident in VMEM scratch), X (rblk, cp)."""
+    lane = _iota2(1, _WBLK, 1)
+    colsel0 = _iota2(_WBLK, 1, 0)
+    for s in range(0, cp, _WBLK):
+        e = s + _WBLK
+        Xb = X[:, s:e]
+        if s:
+            Xb = Xb - _dot(X[:, :s], T[:s, s:e], ((1,), (0,)))
+
+        def body(j, Xb, s=s):
+            g = s + j
+            colsel = (colsel0 == j).astype(Xb.dtype)
+            rowsel = (_iota2(1, cp, 1) == g).astype(Xb.dtype)
+            trow = _dot(rowsel, T[:, s:e], ((1,), (0,)))   # T[g, s:e]
+            xj = _dot(Xb, colsel, ((1,), (0,)))            # Xb[:, j]
+            if not unit:
+                piv = _dot(trow, colsel, ((1,), (0,)))     # T[g, g]
+                xj = xj * pl.reciprocal(piv, approx=False)
+            mrow = trow * (lane > j).astype(Xb.dtype)
+            return jnp.where(lane == j, xj, Xb - xj * mrow)
+
+        Xb = jax.lax.fori_loop(0, _WBLK, body, Xb)
+        X = _wide_put(X, Xb, s, e, cp)
+    return X
+
+
+def _chol_panel_wide_kernel(w_ref, nb_ref, d_ref, b_ref, dd_ref, db_ref,
+                            t_ref):
+    cp = d_ref.shape[1]
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    w = w_ref[bi]
+    cmr = (_iota2(cp, 1, 0) < w).astype(d_ref.dtype)     # (cp, 1) rows
+    cmc = (_iota2(1, cp, 1) < w).astype(d_ref.dtype)     # (1, cp) cols
+
+    @pl.when(ri == 0)
+    def _():
+        Draw = d_ref[0]
+        # the panel stores only the LOWER triangle (the upper half of the
+        # window is scatter garbage, like lax.linalg.cholesky's
+        # symmetrize_input=False contract); rebuild the symmetric D the
+        # in-kernel row-as-column trick relies on
+        rr = _iota2(cp, cp, 0)
+        cc = _iota2(cp, cp, 1)
+        Dl = jnp.where(rr >= cc, Draw * cmr * cmc, 0.0)
+        D = Dl + jnp.where(rr < cc, Dl.T, 0.0)
+        D = D + jnp.eye(cp, dtype=D.dtype) * (1.0 - cmc)
+        A = _wide_potrf(D, cp)
+        L11 = jnp.where(rr >= cc, A, 0.0)
+        dd_ref[0] = (L11 - Draw) * cmr * cmc
+        t_ref[...] = L11.T                               # M = L11^T (upper)
+
+    rblk = b_ref.shape[1]
+    if rblk:
+        nb = nb_ref[bi]
+        Braw = b_ref[0]                                  # (rblk, cp)
+        T = t_ref[...]
+        L21 = _wide_trsm(T, Braw * cmc, cp)
+        rm = ((_iota2(rblk, 1, 0) + ri * rblk) < nb).astype(Braw.dtype)
+        db_ref[0] = (L21 - Braw) * cmc * rm
+
+
+def _wide_row_blk(rbp: int, cp: int, budget: int = 1 << 17):
+    if rbp == 0:
+        return 0
+    r = max(_WBLK, budget // max(1, cp))
+    b = _WBLK
+    while b * 2 <= min(r, rbp):
+        b *= 2
+    return min(b, rbp)
+
+
+def _chol_diag_wide_kernel(w_ref, d_ref, dd_ref):
+    cp = d_ref.shape[1]
+    w = w_ref[pl.program_id(0)]
+    cmr = (_iota2(cp, 1, 0) < w).astype(d_ref.dtype)
+    cmc = (_iota2(1, cp, 1) < w).astype(d_ref.dtype)
+    Draw = d_ref[0]
+    rr = _iota2(cp, cp, 0)
+    cc = _iota2(cp, cp, 1)
+    Dl = jnp.where(rr >= cc, Draw * cmr * cmc, 0.0)    # lower-only storage
+    D = Dl + jnp.where(rr < cc, Dl.T, 0.0)
+    D = D + jnp.eye(cp, dtype=D.dtype) * (1.0 - cmc)
+    A = _wide_potrf(D, cp)
+    L11 = jnp.where(rr >= cc, A, 0.0)
+    dd_ref[0] = (L11 - Draw) * cmr * cmc
+
+
+@functools.partial(jax.jit, static_argnames=("cp", "rbp"))
+def chol_panel_deltas_wide(widths, nbelow, Draw, Braw, cp: int, rbp: int):
+    """Task-major wide-panel Cholesky deltas: Draw (B, cp, cp),
+    Braw (B, rbp, cp), widths/nbelow (B,) -> (dd, db) same layouts."""
+    B = widths.shape[0]
+    w2 = widths
+    nb2 = nbelow
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if rbp == 0:
+        dd = pl.pallas_call(
+            _chol_diag_wide_kernel,
+            grid=(B,),
+            in_specs=[smem,
+                      pl.BlockSpec((1, cp, cp), lambda bi: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, cp, cp), lambda bi: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, cp, cp), Draw.dtype),
+            interpret=_interpret(),
+        )(w2, Draw)
+        return dd, jnp.zeros((B, 0, cp), Draw.dtype)
+    rblk = _wide_row_blk(rbp, cp)
+    grid = (B, rbp // rblk)
+    sblk = smem
+    dblk = pl.BlockSpec((1, cp, cp), lambda bi, ri: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bblk = pl.BlockSpec((1, rblk, cp),
+                        lambda bi, ri: (bi, ri, 0),
+                        memory_space=pltpu.VMEM)
+    dd, db = pl.pallas_call(
+        _chol_panel_wide_kernel,
+        grid=grid,
+        in_specs=[sblk, sblk, dblk, bblk],
+        out_specs=[dblk, bblk],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, cp, cp), Draw.dtype),
+            jax.ShapeDtypeStruct((B, rbp, cp), Draw.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((cp, cp), Draw.dtype)],
+        interpret=_interpret(),
+    )(w2, nb2, Draw, Braw)
+    return dd, db
+
+
+def _wide_getrf(D, cp: int):
+    """Blocked no-pivot LU of one (cp, cp) VMEM tile (masked input, unit
+    diagonal padding). Returns A holding L strictly below the diagonal and
+    U on/above it."""
+    A = D
+    lane = _iota2(1, _WBLK, 1)
+    rows = _iota2(cp, 1, 0)
+    colsel0 = _iota2(_WBLK, 1, 0)
+    for s in range(0, cp, _WBLK):
+        e = s + _WBLK
+
+        def body(j, P, s=s):
+            g = s + j
+            colsel = (colsel0 == j).astype(P.dtype)
+            rowsel = (_iota2(1, cp, 1) == g).astype(P.dtype)
+            pcol = _dot(P, colsel, ((1,), (0,)))           # P[:, j]
+            prow = _dot(rowsel, P, ((1,), (0,)))           # P[g, :]
+            piv = pl.reciprocal(_dot(rowsel, pcol, ((1,), (0,))),
+                                approx=False)
+            colm = (rows > g).astype(P.dtype)
+            lcol = pcol * piv * colm                       # rows > g
+            urow = prow * (lane > j).astype(P.dtype)
+            # store L below the diagonal; keep U (incl pivot) on/above
+            newcol = pcol * (1.0 - colm) + lcol
+            return jnp.where(lane == j, newcol, P - lcol * urow)
+
+        P = jax.lax.fori_loop(0, _WBLK, body, A[:, s:e])
+        A = _wide_put(A, P, s, e, cp)
+        if e < cp:
+            # U[s:e, e:] = unit_lower(L[s:e, s:e])^{-1} A[s:e, e:]
+            ri0 = _iota2(_WBLK, 1, 0)
+
+            def rbody(k, R, s=s):
+                rowselk = (_iota2(1, cp, 1) == s + k).astype(R.dtype)
+                lrow = _dot(rowselk, P, ((1,), (0,))) \
+                    * (lane < k).astype(R.dtype)           # L[s+k, s:s+k]
+                rsel = (_iota2(1, _WBLK, 1) == k).astype(R.dtype)
+                rk = _dot(rsel, R, ((1,), (0,))) \
+                    - _dot(lrow, R, ((1,), (0,)))
+                return jnp.where(ri0 == k, rk, R)
+
+            R = jax.lax.fori_loop(1, _WBLK, rbody, A[s:e, e:])
+            # trailing: A[e:, e:] -= L[e:, s:e] @ U[s:e, e:]; rows s:e of
+            # the trailing columns become the U rows computed above
+            upd = _dot(P[e:, :], R, ((1,), (0,)))
+            tail = jnp.concatenate([R, A[e:, e:] - upd], axis=0)
+            A = jnp.concatenate(
+                [A[:, :e], _wide_put(A[:, e:], tail, s, cp, cp, axis=0)],
+                axis=1)
+    return A
+
+
+def _lu_panel_wide_kernel(w_ref, nb_ref, dl_ref, du_ref, bl_ref, bu_ref,
+                          ddl_ref, ddu_ref, dbl_ref, dbu_ref,
+                          tl_ref, u_ref):
+    cp = dl_ref.shape[1]
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    w = w_ref[bi]
+    cmr = (_iota2(cp, 1, 0) < w).astype(dl_ref.dtype)
+    cmc = (_iota2(1, cp, 1) < w).astype(dl_ref.dtype)
+
+    @pl.when(ri == 0)
+    def _():
+        DLraw = dl_ref[0]
+        DUraw = du_ref[0]
+        DL = DLraw * cmr * cmc
+        DU = DUraw * cmr * cmc
+        rr = _iota2(cp, cp, 0)
+        cc = _iota2(cp, cp, 1)
+        D = jnp.where(rr >= cc, DL, 0.0) \
+            + jnp.where(rr < cc, DU.T, 0.0)
+        D = D + jnp.eye(cp, dtype=D.dtype) * (1.0 - cmc)
+        A = _wide_getrf(D, cp)
+        L11 = jnp.where(rr > cc, A, 0.0) + jnp.eye(cp, dtype=A.dtype)
+        U11 = jnp.where(rr <= cc, A, 0.0)
+        ddl_ref[0] = (L11 - DLraw) * cmr * cmc
+        ddu_ref[0] = (U11.T - DUraw) * cmr * cmc
+        tl_ref[...] = L11.T                      # for X L11^T = BU (unit)
+        u_ref[...] = U11                         # for X U11 = BL
+
+    rblk = bl_ref.shape[1]
+    if rblk:
+        nb = nb_ref[bi]
+        BLraw = bl_ref[0]
+        BUraw = bu_ref[0]
+        L21 = _wide_trsm(u_ref[...], BLraw * cmc, cp)
+        U12t = _wide_trsm(tl_ref[...], BUraw * cmc, cp, unit=True)
+        rm = ((_iota2(rblk, 1, 0) + ri * rblk) < nb).astype(BLraw.dtype)
+        dbl_ref[0] = (L21 - BLraw) * cmc * rm
+        dbu_ref[0] = (U12t - BUraw) * cmc * rm
+
+
+def _lu_diag_wide_kernel(w_ref, dl_ref, du_ref, ddl_ref, ddu_ref):
+    cp = dl_ref.shape[1]
+    w = w_ref[pl.program_id(0)]
+    cmr = (_iota2(cp, 1, 0) < w).astype(dl_ref.dtype)
+    cmc = (_iota2(1, cp, 1) < w).astype(dl_ref.dtype)
+    DLraw = dl_ref[0]
+    DUraw = du_ref[0]
+    rr = _iota2(cp, cp, 0)
+    cc = _iota2(cp, cp, 1)
+    D = jnp.where(rr >= cc, DLraw * cmr * cmc, 0.0) \
+        + jnp.where(rr < cc, (DUraw * cmr * cmc).T, 0.0) \
+        + jnp.eye(cp, dtype=DLraw.dtype) * (1.0 - cmc)
+    A = _wide_getrf(D, cp)
+    L11 = jnp.where(rr > cc, A, 0.0) + jnp.eye(cp, dtype=A.dtype)
+    U11 = jnp.where(rr <= cc, A, 0.0)
+    ddl_ref[0] = (L11 - DLraw) * cmr * cmc
+    ddu_ref[0] = (U11.T - DUraw) * cmr * cmc
+
+
+@functools.partial(jax.jit, static_argnames=("cp", "rbp"))
+def lu_panel_deltas_wide(widths, nbelow, DL, DU, BL, BU, cp: int, rbp: int):
+    """Task-major wide-panel LU deltas -> (ddl, ddu, dbl, dbu)."""
+    B = widths.shape[0]
+    w2 = widths
+    nb2 = nbelow
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if rbp == 0:
+        dblk1 = pl.BlockSpec((1, cp, cp), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+        ddl, ddu = pl.pallas_call(
+            _lu_diag_wide_kernel,
+            grid=(B,),
+            in_specs=[smem, dblk1, dblk1],
+            out_specs=[dblk1, dblk1],
+            out_shape=[jax.ShapeDtypeStruct((B, cp, cp), DL.dtype),
+                       jax.ShapeDtypeStruct((B, cp, cp), DL.dtype)],
+            interpret=_interpret(),
+        )(w2, DL, DU)
+        z = jnp.zeros((B, 0, cp), DL.dtype)
+        return ddl, ddu, z, z
+    rblk = _wide_row_blk(rbp, cp, budget=1 << 16)
+    grid = (B, rbp // rblk)
+    sblk = smem
+    dblk = pl.BlockSpec((1, cp, cp), lambda bi, ri: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bblk = pl.BlockSpec((1, rblk, cp),
+                        lambda bi, ri: (bi, ri, 0),
+                        memory_space=pltpu.VMEM)
+    ddl, ddu, dbl, dbu = pl.pallas_call(
+        _lu_panel_wide_kernel,
+        grid=grid,
+        in_specs=[sblk, sblk, dblk, dblk, bblk, bblk],
+        out_specs=[dblk, dblk, bblk, bblk],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, cp, cp), DL.dtype),
+            jax.ShapeDtypeStruct((B, cp, cp), DL.dtype),
+            jax.ShapeDtypeStruct((B, rbp, cp), DL.dtype),
+            jax.ShapeDtypeStruct((B, rbp, cp), DL.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((cp, cp), DL.dtype),
+                        pltpu.VMEM((cp, cp), DL.dtype)],
+        interpret=_interpret(),
+    )(w2, nb2, DL, DU, BL, BU)
+    return ddl, ddu, dbl, dbu
+
+
 def _chol_lanes_kernel(d_ref, l_ref):
     c = d_ref.shape[1]
     A = d_ref[...]                       # (slab, c, c)

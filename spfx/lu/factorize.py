@@ -264,7 +264,7 @@ class LU:
                             if isinstance(ub, UpdateBucketC):
                                 Lx, Ux = blocks.apply_updates_lu_c(
                                     Lx, Ux, *ub.dev(), mp=ub.mp, kp=ub.kp,
-                                    csp=ub.csp)
+                                    csp=ub.csp, srows=ub.slab_rows)
                             else:
                                 Lx, Ux = blocks.apply_updates_lu(
                                     Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)

@@ -139,16 +139,25 @@ class PanelBucketC:
 @dataclasses.dataclass
 class UpdateBucketC:
     """Contig-layout update batch: one contiguous (mp x kp) source window
-    per task (the N block is its leading rows); target scatter stays
-    row-windowed (the extend-add's irregularity lives there)."""
+    per task (the N block is its leading rows).
+
+    The extend-add target is expressed as a SLAB: all tasks of a chunk
+    target panels inside one contiguous storage range [slab_lo, slab_lo +
+    slab_rows*csp) (storage is level-major and same-stride panels of a level
+    are adjacent, see build_plan), viewed as a (slab_rows, csp) matrix.
+    tgt_lrow holds each update row's SUBLANE index in that view, so the
+    extend-add is a VMEM-local row loop instead of an XLA scatter (measured
+    2.6us/row on TPU — the round-2 engine's dominant cost)."""
     kw: np.ndarray             # (B,) true K (descendant width), 0 pad
     mrows: np.ndarray          # (B,) true M rows
     src_start: np.ndarray      # (B,) int32 flat start of source rows, -1
-    tgt_row_start: np.ndarray  # (B, Mp) int32, -1 invalid
+    slab_lo: np.ndarray        # (1,) int32 flat start of the target slab
+    tgt_lrow: np.ndarray       # (B, Mp) int32 slab row index, -1 invalid
     tgt_cpos: np.ndarray       # (B, Np) int32 col index in target, -1 pad
     mp: int                    # static source row window
     kp: int                    # static source width == source stride
     csp: int                   # static target width == target stride
+    slab_rows: int             # static slab height (pow2)
     flops: float
     _dev: tuple = None
 
@@ -156,9 +165,18 @@ class UpdateBucketC:
         if self._dev is None:
             import jax.numpy as jnp
             self._dev = tuple(jnp.asarray(a) for a in (
-                self.kw, self.mrows, self.src_start, self.tgt_row_start,
-                self.tgt_cpos))
+                self.kw, self.mrows, self.src_start, self.slab_lo,
+                self.tgt_lrow, self.tgt_cpos))
         return self._dev
+
+    @property
+    def tgt_row_start(self) -> np.ndarray:
+        """Flat row starts (compat view for scatter-based engines, e.g. the
+        sharded delta accumulation in spfx.dist.factorize)."""
+        return np.where(
+            self.tgt_lrow >= 0,
+            int(self.slab_lo[0]) + self.tgt_lrow.astype(np.int64) * self.csp,
+            -1).astype(np.int32)
 
 
 @dataclasses.dataclass
@@ -240,7 +258,19 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     else:
         Wp = W.copy()     # stride == true width; windows overlap row tails
     offsets = np.zeros(nsuper, dtype=np.int64)
-    np.cumsum(R[:-1] * Wp[:-1], out=offsets[1:])
+    if contig:
+        # LEVEL-MAJOR storage: panels ordered by (level, stride, id), so a
+        # level's same-stride panels — the targets of one level's update
+        # chunks — form one contiguous range. Update extend-adds then run on
+        # a dynamic-sliced (slab_rows, csp) VMEM view instead of an XLA
+        # row scatter (the reference's stage-local buffer offsets idea,
+        # Cholesky/Source/SparseFrame.c:1875-1907, re-aimed at VMEM).
+        sorder = np.lexsort((np.arange(nsuper), Wp, sym.sn_level))
+        csum = np.zeros(nsuper + 1, dtype=np.int64)
+        np.cumsum((R * Wp)[sorder], out=csum[1:])
+        offsets[sorder] = csum[:-1]
+    else:
+        np.cumsum(R[:-1] * Wp[:-1], out=offsets[1:])
     xsize = int((R * Wp).sum())
     if xsize + SLACK >= 2**31:
         raise ValueError(f"factor too large for int32 indexing: {xsize}")
@@ -338,6 +368,9 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             [padf(a, clo) for a in t_M],
             [padf(a, clo) for a in t_N],
             kcls, ccls], axis=1)
+        # slab working-set cap: the extend-add kernel keeps the whole slab
+        # VMEM-resident, so slab_rows * csp must fit comfortably (f32)
+        slab_cap = 1 << 20
         for lv in range(nlev):
             in_lv = np.flatnonzero(t_level == lv)
             if not len(in_lv):
@@ -351,14 +384,46 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                     config.max_gather_elems, config.batch_floor_elems,
                     config.max_pad_ratio)
                 slack = max(slack, mp * kp)
-                mku = _make_update_bucket_c if contig else _make_update_bucket
-                for c0 in range(0, len(sel), qb):
-                    ub = mku(
-                        sel[c0:c0 + qb], t_d, t_s, t_lpos, t_M, t_N, t_K,
+                if not contig:
+                    for c0 in range(0, len(sel), qb):
+                        ub = _make_update_bucket(
+                            sel[c0:c0 + qb], t_d, t_s, t_lpos, t_M, t_N,
+                            t_K, Wp, R, offsets, first_col, sym, rowpos,
+                            mp, np_, kp, csp, qb, t_cmin)
+                        levels[lv].updates.append(ub)
+                        total_flops += ub.flops
+                    continue
+                # contig: order tasks by target panel offset and cut chunks
+                # so each chunk's targets fit one slab of <= slab_cap elems
+                sel = sel[np.argsort(offsets[t_s[sel]], kind="stable")]
+                t_off = offsets[t_s[sel]]
+                t_end = t_off + R[t_s[sel]] * Wp[t_s[sel]]
+                if int((t_end - t_off).max()) > slab_cap:
+                    raise ValueError(
+                        "target panel exceeds extend-add slab cap "
+                        f"({int((t_end - t_off).max())} > {slab_cap})")
+                chunks = []
+                i0 = 0
+                for i in range(1, len(sel)):
+                    if i - i0 >= qb or t_end[i] - t_off[i0] > slab_cap:
+                        chunks.append((i0, i))
+                        i0 = i
+                chunks.append((i0, len(sel)))
+                span = max(int(t_end[a:b].max() - t_off[a])
+                           for a, b in chunks)
+                srows = pad_pow2(-(-span // csp), 8)       # static per class
+                for a, b in chunks:
+                    ub = _make_update_bucket_c(
+                        sel[a:b], t_d, t_s, t_lpos, t_M, t_N, t_K,
                         Wp, R, offsets, first_col, sym, rowpos,
-                        mp, np_, kp, csp, qb, t_cmin)
+                        mp, np_, kp, csp, qb, srows)
                     levels[lv].updates.append(ub)
                     total_flops += ub.flops
+                    # the padded slab [lo, lo+srows*csp) must stay inside
+                    # storage: grow the trailing slack to cover the overrun
+                    need = int(ub.slab_lo[0]) + srows * csp - xsize
+                    if need > slack:
+                        slack = need
 
     # ---------------- assembly scatter (ref loadA :1998-2028) ------------
     def entry_positions(M_: sp.csc_matrix) -> np.ndarray:
@@ -456,14 +521,15 @@ def _make_panel_bucket_c(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
 
 def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
                           Wp, R, offsets, first_col, sym, rowpos,
-                          mp, np_, kp, csp, qb=None, t_cmin=None):
+                          mp, np_, kp, csp, qb, srows):
     """Contig-layout update bucket: one (mp x kp) source window per task
-    (requires kp == Wp[d], csp == Wp[s]); row-windowed target scatter."""
+    (requires kp == Wp[d], csp == Wp[s]); slab extend-add target (tasks are
+    pre-sorted by target offset, all inside [slab_lo, slab_lo+srows*csp))."""
     B = len(sel)
-    qb = pad_pow2(B, 1) if qb is None else qb
     d, s = t_d[sel], t_s[sel]
     lpos, M, N = t_lpos[sel], t_M[sel], t_N[sel]
     src_start = offsets[d] + lpos * Wp[d]
+    slab_lo = int(offsets[s[0]])
     mi = np.arange(mp, dtype=np.int64)[None, :]
     vm = mi < M[:, None]
     pat = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + mi,
@@ -471,8 +537,9 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     grow = sym.sn_rows[pat]
     tpos = rowpos(np.broadcast_to(s[:, None], grow.shape).ravel(),
                   grow.ravel()).reshape(grow.shape)
-    tgt_row_start = np.where(vm & (tpos >= 0),
-                             offsets[s][:, None] + tpos * Wp[s][:, None], -1)
+    base_row = (offsets[s] - slab_lo) // csp                # panel row base
+    tgt_lrow = np.where(vm & (tpos >= 0),
+                        base_row[:, None] + tpos, -1)
     ni = np.arange(np_, dtype=np.int64)[None, :]
     vn = ni < N[:, None]
     patn = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + ni,
@@ -480,10 +547,12 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     q = sym.sn_rows[patn]
     tgt_cpos = np.where(vn, q - first_col[s][:, None], -1)
     flops = float(2.0 * (M.astype(float) * N * t_K[sel]).sum())
-    arrs = _pad_batch([t_K[sel], M, src_start, tgt_row_start, tgt_cpos],
+    arrs = _pad_batch([t_K[sel], M, src_start, tgt_lrow, tgt_cpos],
                       B, qb, [0, 0, -1, -1, -1])
-    return UpdateBucketC(*(a.astype(np.int32) for a in arrs),
-                         mp, kp, csp, flops)
+    kw_a, m_a, ss_a, lr_a, cp_a = (a.astype(np.int32) for a in arrs)
+    return UpdateBucketC(kw_a, m_a, ss_a,
+                         np.asarray([slab_lo], np.int32), lr_a, cp_a,
+                         mp, kp, csp, int(srows), flops)
 
 
 def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,

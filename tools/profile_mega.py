@@ -141,13 +141,14 @@ def _time_class(r, c, mych, L0, k):
                     E = blocks.update_rows_sym(L, kw, srs, cpos, kp, csp)
                     return blocks._win_scatter_add(L, trs, -E)
             elif kind == "UC":
-                mp, kp, csp = static
+                mp, kp, csp, srows = static
 
                 def br(L, i):
-                    kw, mr, ss, trs, cpos = M._take(tabs, i)
+                    kw, mr, ss, lo, lrow, cpos = M._take(tabs, i)
                     E = blocks.update_rows_sym_c(L, kw, mr, ss, cpos,
                                                  mp, kp, csp)
-                    return blocks._win_scatter_add(L, trs, -E)
+                    return blocks.extend_add_slab(L, lo[0], lrow, E,
+                                                  srows, csp)
             elif kind == "PC":
                 cp, rbp = static
 
