@@ -148,6 +148,7 @@ class CholeskyFactor:
         sym = self.sym
         Lh = np.asarray(self.L)
         rows, cols, vals = [], [], []
+        shift = self.plan.below_shift
         for s in range(sym.nsuper):
             c1, c2 = sym.sn_start[s], sym.sn_start[s + 1]
             rr = sym.sn_row_list(s)
@@ -155,8 +156,11 @@ class CholeskyFactor:
             w = c2 - c1
             wp = int(self.plan.strides[s])
             off = self.plan.offsets[s]
+            sr = np.arange(R)
+            if shift is not None:
+                sr = sr + np.where(sr >= w, shift[s], 0)
             for c in range(w):
-                v = Lh[off + np.arange(R) * wp + c]    # row-major panel
+                v = Lh[off + sr * wp + c]              # row-major panel
                 keep = rr >= c1 + c
                 rows.append(rr[keep])
                 cols.append(np.full(keep.sum(), c1 + c))
@@ -258,11 +262,11 @@ class Cholesky:
                                                              kp=ub.kp,
                                                              csp=ub.csp)
                     for pb in lp.panels:
-                        d = pb.dev()
                         if isinstance(pb, PanelBucketC):
-                            L = blocks.factor_panels_chol_c(
-                                L, *d[:4], cp=pb.cp, rbp=pb.rbp)
+                            L = blocks.factor_panels_chol_uj(
+                                L, *pb.dev_u(), cp=pb.cp, rbp=pb.rbp)
                         else:
+                            d = pb.dev()
                             L = blocks.factor_panels_chol(L, d[0], d[1],
                                                           d[2])
         f = CholeskyFactor(A, self.sym, self.plan, L, self.config,

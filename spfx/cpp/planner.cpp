@@ -377,7 +377,7 @@ template <typename T>
 static void chol_solve_impl(int64_t nsuper, const int64_t* sn_start,
                             const int64_t* sn_ptr, const int64_t* sn_rows,
                             const int64_t* offsets, const int64_t* strides,
-                            const T* Lv, double* x) {
+                            const int64_t* bshift, const T* Lv, double* x) {
   // forward: L y = b
   for (int64_t s = 0; s < nsuper; ++s) {
     int64_t c1 = sn_start[s], c2 = sn_start[s + 1];
@@ -390,8 +390,9 @@ static void chol_solve_impl(int64_t nsuper, const int64_t* sn_start,
       for (int64_t t = 0; t < j; ++t) acc -= (double)row[t] * x[c1 + t];
       x[c1 + j] = acc / (double)row[j];
     }
+    int64_t sh = bshift[s];
     for (int64_t r = w; r < R; ++r) {
-      const T* row = P + r * wp;
+      const T* row = P + (r + sh) * wp;
       double acc = 0.0;
       for (int64_t t = 0; t < w; ++t) acc += (double)row[t] * x[c1 + t];
       x[sn_rows[p0 + r]] -= acc;
@@ -403,10 +404,11 @@ static void chol_solve_impl(int64_t nsuper, const int64_t* sn_start,
     int64_t w = c2 - c1, wp = strides[s];
     int64_t p0 = sn_ptr[s], R = sn_ptr[s + 1] - p0;
     const T* P = Lv + offsets[s];
+    int64_t sh = bshift[s];
     for (int64_t j = w - 1; j >= 0; --j) {
       double acc = x[c1 + j];
       for (int64_t r = w; r < R; ++r)
-        acc -= (double)P[r * wp + j] * x[sn_rows[p0 + r]];
+        acc -= (double)P[(r + sh) * wp + j] * x[sn_rows[p0 + r]];
       // (L^T x)_j uses L[t,j] = P[t*wp + j] for t > j (column j of L)
       for (int64_t t = j + 1; t < w; ++t)
         acc -= (double)P[t * wp + j] * x[c1 + t];
@@ -419,7 +421,8 @@ template <typename T>
 static void lu_solve_impl(int64_t nsuper, const int64_t* sn_start,
                           const int64_t* sn_ptr, const int64_t* sn_rows,
                           const int64_t* offsets, const int64_t* strides,
-                          const T* Lv, const T* Uv, double* x) {
+                          const int64_t* bshift, const T* Lv, const T* Uv,
+                          double* x) {
   // forward: unit-L y = b
   for (int64_t s = 0; s < nsuper; ++s) {
     int64_t c1 = sn_start[s], c2 = sn_start[s + 1];
@@ -432,8 +435,9 @@ static void lu_solve_impl(int64_t nsuper, const int64_t* sn_start,
       for (int64_t t = 0; t < j; ++t) acc -= (double)row[t] * x[c1 + t];
       x[c1 + j] = acc;                       // unit diagonal
     }
+    int64_t sh = bshift[s];
     for (int64_t r = w; r < R; ++r) {
-      const T* row = P + r * wp;
+      const T* row = P + (r + sh) * wp;
       double acc = 0.0;
       for (int64_t t = 0; t < w; ++t) acc += (double)row[t] * x[c1 + t];
       x[sn_rows[p0 + r]] -= acc;
@@ -445,10 +449,11 @@ static void lu_solve_impl(int64_t nsuper, const int64_t* sn_start,
     int64_t w = c2 - c1, wp = strides[s];
     int64_t p0 = sn_ptr[s], R = sn_ptr[s + 1] - p0;
     const T* P = Uv + offsets[s];
+    int64_t sh = bshift[s];
     for (int64_t j = w - 1; j >= 0; --j) {
       double acc = x[c1 + j];
       for (int64_t r = w; r < R; ++r)
-        acc -= (double)P[r * wp + j] * x[sn_rows[p0 + r]];
+        acc -= (double)P[(r + sh) * wp + j] * x[sn_rows[p0 + r]];
       for (int64_t t = j + 1; t < w; ++t)
         acc -= (double)P[t * wp + j] * x[c1 + t];   // U[c1+j, c1+t]
       x[c1 + j] = acc / (double)P[j * wp + j];      // pivot U[j,j]
@@ -461,33 +466,35 @@ extern "C" {
 void spfx_chol_solve_f32(int64_t nsuper, const int64_t* sn_start,
                          const int64_t* sn_ptr, const int64_t* sn_rows,
                          const int64_t* offsets, const int64_t* strides,
-                         const float* Lv, double* x) {
+                         const int64_t* bshift, const float* Lv, double* x) {
   chol_solve_impl<float>(nsuper, sn_start, sn_ptr, sn_rows, offsets, strides,
-                         Lv, x);
+                       bshift, Lv, x);
 }
 
 void spfx_chol_solve_f64(int64_t nsuper, const int64_t* sn_start,
                          const int64_t* sn_ptr, const int64_t* sn_rows,
                          const int64_t* offsets, const int64_t* strides,
-                         const double* Lv, double* x) {
+                         const int64_t* bshift, const double* Lv, double* x) {
   chol_solve_impl<double>(nsuper, sn_start, sn_ptr, sn_rows, offsets, strides,
-                          Lv, x);
+                          bshift, Lv, x);
 }
 
 void spfx_lu_solve_f32(int64_t nsuper, const int64_t* sn_start,
                        const int64_t* sn_ptr, const int64_t* sn_rows,
                        const int64_t* offsets, const int64_t* strides,
-                       const float* Lv, const float* Uv, double* x) {
+                       const int64_t* bshift, const float* Lv, const float* Uv,
+                       double* x) {
   lu_solve_impl<float>(nsuper, sn_start, sn_ptr, sn_rows, offsets, strides,
-                       Lv, Uv, x);
+                     bshift, Lv, Uv, x);
 }
 
 void spfx_lu_solve_f64(int64_t nsuper, const int64_t* sn_start,
                        const int64_t* sn_ptr, const int64_t* sn_rows,
                        const int64_t* offsets, const int64_t* strides,
-                       const double* Lv, const double* Uv, double* x) {
+                       const int64_t* bshift, const double* Lv,
+                       const double* Uv, double* x) {
   lu_solve_impl<double>(nsuper, sn_start, sn_ptr, sn_rows, offsets, strides,
-                        Lv, Uv, x);
+                        bshift, Lv, Uv, x);
 }
 
 }  // extern "C"

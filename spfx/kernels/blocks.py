@@ -259,57 +259,78 @@ def _row_mask(nrows, rp, dtype):
     return (jnp.arange(rp)[None, :] < nrows[:, None]).astype(dtype)
 
 
-def panel_deltas_chol_c(L, widths, nbelow, diag_start, below_start,
-                        cp: int, rbp: int):
-    """Contig-layout Cholesky panel deltas (cf. panel_deltas_chol).
-
-    On TPU, panels up to LANES_CP_MAX wide run as one fused batch-in-lanes
-    Pallas kernel (VMEM-resident intermediates, batch on the VPU lane axis —
-    see pallas_blocks); wider panels fall back to the XLA expanders."""
+def _chol_deltas_blocks(Draw, Braw, widths, nbelow, cp: int, rbp: int):
+    """Cholesky panel deltas from task-major blocks Draw (B, cp, cp) /
+    Braw (B, rbp, cp). Routes to the batch-in-lanes Pallas kernel (small
+    cp), the blocked wide Pallas kernel (cp <= WIDE_CP_MAX), or the XLA
+    expanders (complex / non-TPU)."""
     from spfx.kernels import pallas_blocks
-    if _unrolled() and not jnp.iscomplexobj(L) \
-            and cp <= pallas_blocks.LANES_CP_MAX:
-        Draw = _task_gather(L, diag_start, cp, cp)
+    B = widths.shape[0]
+    # batch-in-lanes kernel wants lanes filled (batch >= ~16) and its
+    # (cp, cp, slab) diag block within ~2MB of VMEM (slab is forced to
+    # min(B, 128) by lane tiling); the task-serial blocked wide kernel
+    # covers the few near-root panels with tiny batch or huge footprint
+    lanes_ok = cp <= 32 or (B >= 16
+                            and cp * cp * min(B, 128) <= (1 << 19))
+    if _unrolled() and not jnp.iscomplexobj(Draw) \
+            and cp <= pallas_blocks.LANES_CP_MAX and lanes_ok:
         DrawT = jnp.transpose(Draw, (1, 2, 0))
-        BrawT = jnp.transpose(_task_gather(L, below_start, rbp, cp),
-                              (1, 2, 0)) if rbp \
-            else jnp.zeros((0, cp, widths.shape[0]), L.dtype)
+        BrawT = jnp.transpose(Braw, (1, 2, 0)) if rbp \
+            else jnp.zeros((0, cp, B), Draw.dtype)
         ddT, dbT = pallas_blocks.chol_panel_deltas_lanes(
             widths, nbelow, DrawT, BrawT, cp=cp, rbp=rbp)
         return jnp.transpose(ddT, (2, 0, 1)), jnp.transpose(dbT, (2, 0, 1))
-    if _unrolled() and not jnp.iscomplexobj(L) \
+    if _unrolled() and not jnp.iscomplexobj(Draw) \
             and cp <= pallas_blocks.WIDE_CP_MAX:
-        # wide panels: task-major blocked Pallas kernel (MXU trailing
-        # updates), no XLA linalg While loop inside the mega scan
-        Draw = _task_gather(L, diag_start, cp, cp)
-        Braw = _task_gather(L, below_start, rbp, cp) if rbp \
-            else jnp.zeros((widths.shape[0], 0, cp), L.dtype)
+        # wide panels: blocked Pallas kernel (MXU trailing updates), no XLA
+        # linalg While loop inside the mega scan
         return pallas_blocks.chol_panel_deltas_wide(
             widths, nbelow, Draw, Braw, cp=cp, rbp=rbp)
-    cm = _col_mask(widths, cp, L.dtype)                    # (B, Cp)
-    Draw = _task_gather(L, diag_start, cp, cp)             # (B, Cp, Cp)
-    # rows >= w of the diag window hold the panel's below-block data (the
-    # contig window is raw storage, not zero-filled like rowwin's -1 starts);
-    # zero them so the factorization's padding rows stay exactly e_j
-    # (otherwise pivots 1 - sum(L21^2) can go negative -> NaN)
+    cm = _col_mask(widths, cp, Draw.dtype)                 # (B, Cp)
+    # rows >= w of the diag window may hold junk (zero padding under the
+    # uniform layout; raw storage under stride_padding); zero them so the
+    # factorization's padding rows stay exactly e_j (otherwise pivots
+    # 1 - sum(L21^2) can go negative -> NaN)
     D = Draw * cm[:, None, :] * cm[:, :, None]
-    D = D + jnp.eye(cp, dtype=L.dtype)[None] * (1.0 - cm)[:, None, :]
-    # wide panels (cp > LANES_CP_MAX) use the XLA expanders: the few near-
-    # root buckets are matmul-dominated, and the unrolled recurrence would
-    # round-trip (B,C,C) through HBM per column
-    cplx = jnp.iscomplexobj(L)
+    D = D + jnp.eye(cp, dtype=Draw.dtype)[None] * (1.0 - cm)[:, None, :]
+    cplx = jnp.iscomplexobj(Draw)
     L11 = lax.linalg.cholesky(D, symmetrize_input=False)
     dD = (L11 - Draw) * cm[:, None, :] * cm[:, :, None]    # rows<w, cols<w
     if rbp:
-        Braw = _task_gather(L, below_start, rbp, cp)
-        rm = _row_mask(nbelow, rbp, L.dtype)
+        rm = _row_mask(nbelow, rbp, Draw.dtype)
         L21 = lax.linalg.triangular_solve(L11, Braw * cm[:, None, :],
                                           left_side=False, lower=True,
                                           transpose_a=True, conjugate_a=cplx)
         dB = (L21 - Braw) * cm[:, None, :] * rm[:, :, None]
     else:
-        dB = jnp.zeros((widths.shape[0], 0, cp), L.dtype)
+        dB = jnp.zeros((widths.shape[0], 0, cp), Draw.dtype)
     return dD, dB
+
+
+def panel_deltas_chol_c(L, widths, nbelow, diag_start, below_start,
+                        cp: int, rbp: int):
+    """Contig-layout Cholesky panel deltas via per-task window gathers
+    (kept for the sharded engine; the in-place engines use the uniform-block
+    path below, which reads the whole bucket with one dynamic slice)."""
+    Draw = _task_gather(L, diag_start, cp, cp)
+    Braw = _task_gather(L, below_start, rbp, cp) if rbp \
+        else jnp.zeros((widths.shape[0], 0, cp), L.dtype)
+    return _chol_deltas_blocks(Draw, Braw, widths, nbelow, cp, rbp)
+
+
+def factor_panels_chol_u(L, widths, nbelow, slab_lo, cp: int, rbp: int):
+    """Factor one uniform panel bucket IN PLACE: the bucket's B panels are
+    contiguous at [slab_lo, slab_lo + B*(cp+rbp)*cp), task stride
+    (cp+rbp)*cp (see PanelBucketC) — one dynamic slice in, one dynamic
+    update slice out, zero per-task transfer descriptors."""
+    B = widths.shape[0]
+    S = (cp + rbp) * cp
+    blk = lax.dynamic_slice(L, (slab_lo,), (B * S,)) \
+        .reshape(B, cp + rbp, cp)
+    dd, db = _chol_deltas_blocks(blk[:, :cp, :], blk[:, cp:, :],
+                                 widths, nbelow, cp, rbp)
+    upd = jnp.concatenate([dd, db], axis=1) if rbp else dd
+    return lax.dynamic_update_slice(L, (blk + upd).reshape(-1), (slab_lo,))
 
 
 @partial(jax.jit, donate_argnums=0, static_argnames=("cp", "rbp"))
@@ -321,6 +342,19 @@ def factor_panels_chol_c(L, widths, nbelow, diag_start, below_start,
     if rbp:
         L = _task_scatter_add(L, below_start, dB)
     return L
+
+
+@partial(jax.jit, donate_argnums=0, static_argnames=("cp", "rbp"))
+def factor_panels_chol_uj(L, widths, nbelow, slab_lo, cp: int, rbp: int):
+    """Jitted per-bucket wrapper of factor_panels_chol_u (calls engine)."""
+    return factor_panels_chol_u(L, widths, nbelow, slab_lo[0], cp, rbp)
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cp", "rbp"))
+def factor_panels_lu_uj(Lx, Ux, widths, nbelow, slab_lo,
+                        cp: int, rbp: int):
+    """Jitted per-bucket wrapper of factor_panels_lu_u (calls engine)."""
+    return factor_panels_lu_u(Lx, Ux, widths, nbelow, slab_lo[0], cp, rbp)
 
 
 def update_rows_sym_c(L, kw, mrows, src_start, tgt_cpos,
@@ -360,69 +394,84 @@ def apply_updates_sym_c(L, kw, mrows, src_start, slab_lo, tgt_lrow,
     return extend_add_slab(L, slab_lo[0], tgt_lrow, E, srows, csp)
 
 
-def panel_deltas_lu_c(Lx, Ux, widths, nbelow, diag_start, below_start,
+def _lu_deltas_blocks(DLraw, DUraw, BLraw, BUraw, widths, nbelow,
                       cp: int, rbp: int):
-    """Contig-layout LU panel deltas (cf. panel_deltas_lu); fused
-    batch-in-lanes Pallas kernel on TPU (see panel_deltas_chol_c)."""
+    """LU panel deltas from task-major blocks (cf. _chol_deltas_blocks);
+    returns (dDL, dBL, dDU, dBU)."""
     from spfx.kernels import pallas_blocks
-    if _unrolled() and not jnp.iscomplexobj(Lx) \
-            and cp <= pallas_blocks.LANES_CP_MAX:
+    B = widths.shape[0]
+    # LU keeps twin L/U blocks resident, so halve the chol footprint cap
+    lanes_ok = cp <= 32 or (B >= 16
+                            and cp * cp * min(B, 128) <= (1 << 18))
+    if _unrolled() and not jnp.iscomplexobj(DLraw) \
+            and cp <= pallas_blocks.LANES_CP_MAX and lanes_ok:
         t = lambda a: jnp.transpose(a, (1, 2, 0))
-        DLt = t(_task_gather(Lx, diag_start, cp, cp))
-        DUt = t(_task_gather(Ux, diag_start, cp, cp))
-        if rbp:
-            BLt = t(_task_gather(Lx, below_start, rbp, cp))
-            BUt = t(_task_gather(Ux, below_start, rbp, cp))
-        else:
-            BLt = jnp.zeros((0, cp, widths.shape[0]), Lx.dtype)
-            BUt = BLt
+        z = jnp.zeros((0, cp, widths.shape[0]), DLraw.dtype)
         ddl, ddu, dbl, dbu = pallas_blocks.lu_panel_deltas_lanes(
-            widths, nbelow, DLt, DUt, BLt, BUt, cp=cp, rbp=rbp)
+            widths, nbelow, t(DLraw), t(DUraw),
+            t(BLraw) if rbp else z, t(BUraw) if rbp else z, cp=cp, rbp=rbp)
         b = lambda a: jnp.transpose(a, (2, 0, 1))
         return b(ddl), b(dbl), b(ddu), b(dbu)
-    if _unrolled() and not jnp.iscomplexobj(Lx) \
+    if _unrolled() and not jnp.iscomplexobj(DLraw) \
             and cp <= pallas_blocks.WIDE_CP_MAX:
-        DLr = _task_gather(Lx, diag_start, cp, cp)
-        DUr = _task_gather(Ux, diag_start, cp, cp)
-        if rbp:
-            BLr = _task_gather(Lx, below_start, rbp, cp)
-            BUr = _task_gather(Ux, below_start, rbp, cp)
-        else:
-            BLr = jnp.zeros((widths.shape[0], 0, cp), Lx.dtype)
-            BUr = BLr
         ddl, ddu, dbl, dbu = pallas_blocks.lu_panel_deltas_wide(
-            widths, nbelow, DLr, DUr, BLr, BUr, cp=cp, rbp=rbp)
+            widths, nbelow, DLraw, DUraw, BLraw, BUraw, cp=cp, rbp=rbp)
         return ddl, dbl, ddu, dbu
-    cm = _col_mask(widths, cp, Lx.dtype)
+    cm = _col_mask(widths, cp, DLraw.dtype)
     row = lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
     col = lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
-    DLraw = _task_gather(Lx, diag_start, cp, cp)
-    DUraw = _task_gather(Ux, diag_start, cp, cp)
-    # zero rows >= w too (they hold below-block data in the contig window),
-    # so padding pivots stay exactly 1 and produce no NaN/Inf
-    wm = _row_mask(widths, cp, Lx.dtype)
+    # zero rows >= w too, so padding pivots stay exactly 1 (no NaN/Inf)
+    wm = _row_mask(widths, cp, DLraw.dtype)
     DL = DLraw * cm[:, None, :] * wm[:, :, None]
     DU = DUraw * cm[:, None, :] * wm[:, :, None]
     D = jnp.where((row >= col)[None], DL, 0) \
         + jnp.swapaxes(jnp.where((row > col)[None], DU, 0), 1, 2)
-    D = D + jnp.eye(cp, dtype=Lx.dtype)[None] * (1.0 - cm)[:, None, :]
+    D = D + jnp.eye(cp, dtype=DLraw.dtype)[None] * (1.0 - cm)[:, None, :]
     L11, U11 = getrf_nopiv(D)
     U11t = jnp.swapaxes(U11, 1, 2)
     dDL = (L11 - DLraw) * cm[:, None, :] * wm[:, :, None]
     dDU = (U11t - DUraw) * cm[:, None, :] * wm[:, :, None]
     if rbp:
-        BLraw = _task_gather(Lx, below_start, rbp, cp)
-        BUraw = _task_gather(Ux, below_start, rbp, cp)
-        rm = _row_mask(nbelow, rbp, Lx.dtype)
+        rm = _row_mask(nbelow, rbp, DLraw.dtype)
         L21 = trsm_right_upper(U11, BLraw * cm[:, None, :])
         U12t = trsm_right_upper(jnp.swapaxes(L11, 1, 2),
                                 BUraw * cm[:, None, :], unit=True)
         dBL = (L21 - BLraw) * cm[:, None, :] * rm[:, :, None]
         dBU = (U12t - BUraw) * cm[:, None, :] * rm[:, :, None]
     else:
-        dBL = jnp.zeros((widths.shape[0], 0, cp), Lx.dtype)
+        dBL = jnp.zeros((widths.shape[0], 0, cp), DLraw.dtype)
         dBU = dBL
     return dDL, dBL, dDU, dBU
+
+
+def panel_deltas_lu_c(Lx, Ux, widths, nbelow, diag_start, below_start,
+                      cp: int, rbp: int):
+    """Contig-layout LU panel deltas via per-task window gathers (kept for
+    the sharded engine; in-place engines use factor_panels_lu_u)."""
+    z = jnp.zeros((widths.shape[0], 0, cp), Lx.dtype)
+    return _lu_deltas_blocks(
+        _task_gather(Lx, diag_start, cp, cp),
+        _task_gather(Ux, diag_start, cp, cp),
+        _task_gather(Lx, below_start, rbp, cp) if rbp else z,
+        _task_gather(Ux, below_start, rbp, cp) if rbp else z,
+        widths, nbelow, cp, rbp)
+
+
+def factor_panels_lu_u(Lx, Ux, widths, nbelow, slab_lo, cp: int, rbp: int):
+    """Factor one uniform LU panel bucket in place (cf.
+    factor_panels_chol_u): one dynamic slice per factor array."""
+    B = widths.shape[0]
+    S = (cp + rbp) * cp
+    bl = lax.dynamic_slice(Lx, (slab_lo,), (B * S,)).reshape(B, cp + rbp, cp)
+    bu = lax.dynamic_slice(Ux, (slab_lo,), (B * S,)).reshape(B, cp + rbp, cp)
+    dDL, dBL, dDU, dBU = _lu_deltas_blocks(
+        bl[:, :cp, :], bu[:, :cp, :], bl[:, cp:, :], bu[:, cp:, :],
+        widths, nbelow, cp, rbp)
+    ul = jnp.concatenate([dDL, dBL], axis=1) if rbp else dDL
+    uu = jnp.concatenate([dDU, dBU], axis=1) if rbp else dDU
+    Lx = lax.dynamic_update_slice(Lx, (bl + ul).reshape(-1), (slab_lo,))
+    Ux = lax.dynamic_update_slice(Ux, (bu + uu).reshape(-1), (slab_lo,))
+    return Lx, Ux
 
 
 @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cp", "rbp"))

@@ -101,11 +101,14 @@ def _collect(plan, solve_only: bool = False):
         for pb in lp.panels:
             if isinstance(pb, PanelBucketC):
                 key = ("PC", pb.cp, pb.rbp)
-                tabs = [pb.widths, pb.nbelow, pb.diag_start, pb.below_start]
-                fills = [0, 0, -1, -1]
                 if solve_only:
-                    tabs += [pb.xcols, pb.xrows]
-                    fills += [-1, -1]
+                    tabs = [pb.widths, pb.nbelow, pb.diag_start,
+                            pb.below_start, pb.xcols, pb.xrows]
+                    fills = [0, 0, -1, -1, -1, -1]
+                else:
+                    # uniform-block path: just masks + the block base
+                    tabs = [pb.widths, pb.nbelow, pb.slab_lo]
+                    fills = [0, 0, 0]
                 add("PC", key, (pb.cp, pb.rbp), tabs, fills)
             else:
                 cp = pb.diag_row_start.shape[1]
@@ -209,10 +212,10 @@ class MegaRunner:
                         cp, rbp = static
 
                         def br(L, i, tabs=tabs, cp=cp, rbp=rbp):
-                            w, nb, ds, bs = _take(tabs, i)
+                            w, nb, lo = _take(tabs, i)
                             with jax.default_matmul_precision(fac_prec):
-                                return blocks.factor_panels_chol_c \
-                                    .__wrapped__(L, w, nb, ds, bs, cp, rbp)
+                                return blocks.factor_panels_chol_u(
+                                    L, w, nb, lo[0], cp, rbp)
                     else:
                         def br(L, i, tabs=tabs):
                             w, drs, brs_ = _take(tabs, i)
@@ -254,11 +257,10 @@ class MegaRunner:
 
                         def br(carry, i, tabs=tabs, cp=cp, rbp=rbp):
                             Lx, Ux = carry
-                            w, nb, ds, bs = _take(tabs, i)
+                            w, nb, lo = _take(tabs, i)
                             with jax.default_matmul_precision(fac_prec):
-                                return blocks.factor_panels_lu_c \
-                                    .__wrapped__(Lx, Ux, w, nb, ds, bs,
-                                                 cp, rbp)
+                                return blocks.factor_panels_lu_u(
+                                    Lx, Ux, w, nb, lo[0], cp, rbp)
                     else:
                         def br(carry, i, tabs=tabs):
                             Lx, Ux = carry

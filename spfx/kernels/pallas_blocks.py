@@ -69,6 +69,8 @@ def syrk_gemm_batched(A, B, slab: int = 32):
             jax.ShapeDtypeStruct((bt, n, n), A.dtype),
             jax.ShapeDtypeStruct((bt, m, n), A.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(A, B)
 
@@ -98,7 +100,7 @@ def syrk_gemm_batched(A, B, slab: int = 32):
 # cuSOLVER potrf + cuBLAS trsm (ref Cholesky/Source/SparseFrame.c:2795-2837).
 # --------------------------------------------------------------------------
 
-LANES_CP_MAX = 32          # lanes kernels cover panel widths up to this
+LANES_CP_MAX = 256         # lanes kernels cover panel widths up to this
 _LANE = 128
 
 
@@ -108,36 +110,63 @@ def _lanes_masks(cp, w2, dtype):
             < w2).astype(dtype)
 
 
+def _mid(A, j):
+    """A[:, j, :] with traced j, as a one-hot reduction (Mosaic cannot
+    dynamic_slice a VALUE; masked reduction costs one extra pass over A)."""
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, A.shape[1], 1), 1)
+           == j).astype(A.dtype)
+    return jnp.sum(A * sel, axis=1)
+
+
+def _row0(A, j):
+    """A[j, :, :] with traced j (one-hot reduction over dim 0)."""
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (A.shape[0], 1, 1), 0)
+           == j).astype(A.dtype)
+    return jnp.sum(A * sel, axis=0)
+
+
 def _potrf_lanes(A):
-    """Unrolled Cholesky of (cp, cp, slab) in lanes layout; returns L11.
-    A must already be masked (invalid rows/cols zero, unit diag padding)."""
+    """Cholesky of (cp, cp, slab) in lanes layout; returns L (zeros above
+    the diagonal). A must already be masked (invalid rows/cols zero, unit
+    diag padding). The column recurrence is a ``fori_loop`` with dynamic
+    middle-dim indexing, so compiled size is O(1) in cp — this is what lets
+    one kernel cover every panel width up to WIDE_CP_MAX."""
     cp = A.shape[0]
     ri = jax.lax.broadcasted_iota(jnp.int32, (cp, A.shape[2]), 0)
-    cols = []
-    for j in range(cp):
-        colj = A[:, j, :]                              # (cp, slab)
-        piv = jax.lax.rsqrt(A[j:j + 1, j, :])          # (1, slab)
+    cm1 = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
+
+    def body(j, A):
+        colj = _mid(A, j)                              # (cp, slab)
+        piv = jax.lax.rsqrt(
+            jnp.sum(jnp.where(ri == j, colj, 0.0), axis=0, keepdims=True))
         cj = jnp.where(ri >= j, colj * piv, 0.0)
         ucj = jnp.where(ri > j, cj, 0.0)
         A = A - cj[:, None, :] * ucj[None, :, :]
-        cols.append(cj)
-    return jnp.stack(cols, axis=1)                     # (cp, cp, slab)
+        return jnp.where(cm1 == j, cj[:, None, :], A)
+
+    return jax.lax.fori_loop(0, cp, body, A)
 
 
-def _trsm_lanes(Mcol, acc, unit: bool):
-    """Solve X M = acc in lanes layout: acc (rblk, cp, slab); Mcol(j) must
-    return (cp, slab) = M[j, :] (the j-th row of the upper-triangular M)."""
+def _trsm_lanes(M, maxis: int, acc, unit: bool):
+    """Solve X Mu = acc in lanes layout: acc (rblk, cp, slab); row j of the
+    upper-triangular Mu is M sliced at index j along ``maxis``
+    (maxis=1: Mu = M^T with M lower, e.g. L11; maxis=0: Mu = M upper)."""
     cp = acc.shape[1]
     ci = jax.lax.broadcasted_iota(jnp.int32, (cp, acc.shape[2]), 0)
-    cols = []
-    for j in range(cp):
-        mrow = Mcol(j)                                 # (cp, slab)
-        xj = acc[:, j, :] if unit \
-            else acc[:, j, :] / mrow[j:j + 1, :]
-        cols.append(xj)
-        tail = jnp.where(ci > j, mrow, 0.0)            # M[j, k], k > j
+    cm1 = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
+
+    def body(j, acc):
+        mrow = _mid(M, j) if maxis == 1 else _row0(M, j)   # (cp, slab)
+        xj = _mid(acc, j)
+        if not unit:
+            diag = jnp.sum(jnp.where(ci == j, mrow, 0.0), axis=0,
+                           keepdims=True)
+            xj = xj / diag
+        tail = jnp.where(ci > j, mrow, 0.0)            # Mu[j, k], k > j
         acc = acc - xj[:, None, :] * tail[None, :, :]
-    return jnp.stack(cols, axis=1)                     # (rblk, cp, slab)
+        return jnp.where(cm1 == j, xj[:, None, :], acc)
+
+    return jax.lax.fori_loop(0, cp, body, acc)
 
 
 def _chol_panel_lanes_kernel(w_ref, nb_ref, d_ref, b_ref, dd_ref, db_ref,
@@ -163,8 +192,7 @@ def _chol_panel_lanes_kernel(w_ref, nb_ref, d_ref, b_ref, dd_ref, db_ref,
         Braw = b_ref[...]                              # (rblk, cp, slab)
         L11 = l11_ref[...]
         # X L11^T = B: M[j, k] = L11[k, j] -> row j of M is L11[:, j, :]
-        L21 = _trsm_lanes(lambda j: L11[:, j, :], Braw * cm[None, :, :],
-                          unit=False)
+        L21 = _trsm_lanes(L11, 1, Braw * cm[None, :, :], unit=False)
         base = ri * rblk
         rm = ((jax.lax.broadcasted_iota(
             jnp.int32, (rblk, nb2.shape[1]), 0) + base)
@@ -173,19 +201,23 @@ def _chol_panel_lanes_kernel(w_ref, nb_ref, d_ref, b_ref, dd_ref, db_ref,
 
 
 def _lanes_slab(B: int, cp: int, rbp: int):
-    """Lane-count per grid step: fill the 128 lanes when the batch allows."""
+    """Lane-count per grid step: fill the 128 lanes when the batch allows.
+    Mosaic lane tiling forces slab to be a multiple of 128 or the whole
+    batch, so VMEM pressure is managed by the caller's routing (see
+    blocks._chol_deltas_blocks) and by _row_blk, not by shrinking slab."""
     s = 1
     while s * 2 <= min(B, _LANE):
         s *= 2
     return s
 
 
-def _row_blk(rbp: int, cp: int, slab: int, budget: int = 1 << 18):
+def _row_blk(rbp: int, cp: int, slab: int, budget: int = 1 << 16):
     """Below-panel rows per grid step. ``budget`` bounds the row-block's
     bytes; the kernel's scoped-VMEM stack (double-buffered in/out blocks plus
-    the unrolled trsm intermediates) is a small multiple of it — measured on
-    v5e: budget 1<<20 (rblk=256 at cp=16, slab=64) hits 16.96M scoped > 16M
-    limit; 1<<18 leaves ~2x headroom with no measurable slowdown."""
+    the trsm intermediates) is a small multiple of it — measured on v5e:
+    2MB diag blocks (cp=64, slab=128) with 1MB row blocks hit 18.11M scoped
+    > 16M, so row blocks stay small; the diag-block footprint itself is
+    bounded by the lanes/wide routing in blocks.py."""
     if rbp == 0:
         return 0
     r = max(1, budget // max(1, cp * slab * 4))
@@ -229,7 +261,9 @@ def chol_panel_deltas_lanes(widths, nbelow, DrawT, BrawT, cp: int, rbp: int):
             in_specs=[sblk1, dblk1],
             out_specs=dblk1,
             out_shape=jax.ShapeDtypeStruct((cp, cp, B), DrawT.dtype),
-            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
         )(w2, DrawT)
         return dd, jnp.zeros((0, cp, B), DrawT.dtype)
     rblk = _row_blk(rbp, cp, slab)
@@ -247,26 +281,39 @@ def chol_panel_deltas_lanes(widths, nbelow, DrawT, BrawT, cp: int, rbp: int):
             jax.ShapeDtypeStruct((rbp, cp, B), DrawT.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((cp, cp, slab), DrawT.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(w2, nb2, DrawT, BrawT)
     return dd, db
 
 
 def _getrf_lanes(D, cm):
-    """Unrolled no-pivot LU of (cp, cp, slab) in lanes layout.
-    Returns (L11 cols-stacked, U11 rows-stacked)."""
+    """No-pivot LU of (cp, cp, slab) in lanes layout, in-place right-looking
+    fori recurrence (see _potrf_lanes for why fori + dynamic middle-dim
+    slicing). Returns (L11 with unit diag, U11) in (row, col, slab) layout."""
     cp = D.shape[0]
     ri2 = jax.lax.broadcasted_iota(jnp.int32, (cp, D.shape[2]), 0)
-    A = D
-    lcols, urows = [], []
-    for k in range(cp):
-        piv = A[k:k + 1, k, :]                         # (1, slab)
-        urow = jnp.where(ri2 >= k, A[k, :, :], 0.0)    # (cp, slab)
-        lcol = jnp.where(ri2 > k, A[:, k, :] / piv, 0.0)
+    cm1 = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
+
+    def body(k, A):
+        rowk = _row0(A, k)                                       # (cp, slab)
+        colk = _mid(A, k)                                        # (cp, slab)
+        piv = jnp.sum(jnp.where(ri2 == k, colk, 0.0), axis=0,
+                      keepdims=True)
+        lcol = jnp.where(ri2 > k, colk / piv, 0.0)
+        urow = jnp.where(ri2 >= k, rowk, 0.0)          # A[k, j], j >= k
         A = A - lcol[:, None, :] * urow[None, :, :]
-        lcols.append(lcol + (ri2 == k).astype(A.dtype))
-        urows.append(urow)
-    return jnp.stack(lcols, axis=1), jnp.stack(urows, axis=0)
+        # after the rank-1, column k is 0 below the diagonal; deposit L there
+        return A + lcol[:, None, :] * (cm1 == k).astype(A.dtype)
+
+    A = jax.lax.fori_loop(0, cp, body, D)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (cp, cp, 1), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (cp, cp, 1), 1)
+    eye = jnp.eye(cp, dtype=A.dtype)[:, :, None]
+    L11 = jnp.where(rr > cc, A, 0.0) + eye
+    U11 = jnp.where(rr <= cc, A, 0.0)
+    return L11, U11
 
 
 def _lu_diag_prep(dl_ref, du_ref, cm, cp):
@@ -307,12 +354,10 @@ def _lu_panel_lanes_kernel(w_ref, nb_ref, dl_ref, du_ref, bl_ref, bu_ref,
         BUraw = bu_ref[...]
         L11 = l11_ref[...]
         U11 = u11_ref[...]
-        # L21: X U11 = BL; M[j, :] = U11[j, :, :]
-        L21 = _trsm_lanes(lambda j: U11[j, :, :], BLraw * cm[None, :, :],
-                          unit=False)
-        # U12t: X L11^T = BU (unit diag); M[j, :] = L11[:, j, :]
-        U12t = _trsm_lanes(lambda j: L11[:, j, :], BUraw * cm[None, :, :],
-                           unit=True)
+        # L21: X U11 = BL; row j of M is U11[j, :, :]
+        L21 = _trsm_lanes(U11, 0, BLraw * cm[None, :, :], unit=False)
+        # U12t: X L11^T = BU (unit diag); row j of M is L11[:, j, :]
+        U12t = _trsm_lanes(L11, 1, BUraw * cm[None, :, :], unit=True)
         base = ri * rblk
         rm = ((jax.lax.broadcasted_iota(
             jnp.int32, (rblk, nb2.shape[1]), 0) + base)
@@ -355,7 +400,9 @@ def lu_panel_deltas_lanes(widths, nbelow, DLt, DUt, BLt, BUt,
             out_specs=[dblk1, dblk1],
             out_shape=[jax.ShapeDtypeStruct((cp, cp, B), DLt.dtype),
                        jax.ShapeDtypeStruct((cp, cp, B), DLt.dtype)],
-            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
         )(w2, DLt, DUt)
         z = jnp.zeros((0, cp, B), DLt.dtype)
         return ddl, ddu, z, z
@@ -377,6 +424,8 @@ def lu_panel_deltas_lanes(widths, nbelow, DLt, DUt, BLt, BUt,
         ],
         scratch_shapes=[pltpu.VMEM((cp, cp, slab), DLt.dtype),
                         pltpu.VMEM((cp, cp, slab), DLt.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(w2, nb2, DLt, DUt, BLt, BUt)
     return ddl, ddu, dbl, dbu
@@ -437,6 +486,8 @@ def extend_add_rows(slab, rows, Ef):
         out_specs=pl.BlockSpec((Rs, csp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rs, csp), Ef.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(rows, Ef, slab)
 
@@ -622,7 +673,9 @@ def chol_panel_deltas_wide(widths, nbelow, Draw, Braw, cp: int, rbp: int):
             out_specs=pl.BlockSpec((1, cp, cp), lambda bi: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, cp, cp), Draw.dtype),
-            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
         )(w2, Draw)
         return dd, jnp.zeros((B, 0, cp), Draw.dtype)
     rblk = _wide_row_blk(rbp, cp)
@@ -643,6 +696,8 @@ def chol_panel_deltas_wide(widths, nbelow, Draw, Braw, cp: int, rbp: int):
             jax.ShapeDtypeStruct((B, rbp, cp), Draw.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((cp, cp), Draw.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(w2, nb2, Draw, Braw)
     return dd, db
@@ -777,7 +832,9 @@ def lu_panel_deltas_wide(widths, nbelow, DL, DU, BL, BU, cp: int, rbp: int):
             out_specs=[dblk1, dblk1],
             out_shape=[jax.ShapeDtypeStruct((B, cp, cp), DL.dtype),
                        jax.ShapeDtypeStruct((B, cp, cp), DL.dtype)],
-            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
         )(w2, DL, DU)
         z = jnp.zeros((B, 0, cp), DL.dtype)
         return ddl, ddu, z, z
@@ -802,6 +859,8 @@ def lu_panel_deltas_wide(widths, nbelow, DL, DU, BL, BU, cp: int, rbp: int):
         ],
         scratch_shapes=[pltpu.VMEM((cp, cp), DL.dtype),
                         pltpu.VMEM((cp, cp), DL.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(w2, nb2, DL, DU, BL, BU)
     return ddl, ddu, dbl, dbu
@@ -849,5 +908,7 @@ def cholesky_small_batched(D, slab: int = 256):
         out_specs=pl.BlockSpec((slab, c, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bt, c, c), D.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(D)

@@ -153,6 +153,7 @@ class LUFactor:
         Uh = np.asarray(self.Ux)
         lr, lc, lv = [], [], []
         ur, uc, uv = [], [], []
+        shift = self.plan.below_shift
         for s in range(sym.nsuper):
             c1, c2 = sym.sn_start[s], sym.sn_start[s + 1]
             rr = sym.sn_row_list(s)
@@ -160,8 +161,11 @@ class LUFactor:
             w = c2 - c1
             wp = int(self.plan.strides[s])
             off = self.plan.offsets[s]
+            sr = np.arange(R)
+            if shift is not None:
+                sr = sr + np.where(sr >= w, shift[s], 0)
             for c in range(w):
-                pos = off + np.arange(R) * wp + c      # row-major panel
+                pos = off + sr * wp + c                # row-major panel
                 colv = Lh[pos]
                 keep = rr >= c1 + c
                 lr.append(rr[keep]); lc.append(np.full(keep.sum(), c1 + c))
@@ -269,11 +273,11 @@ class LU:
                                 Lx, Ux = blocks.apply_updates_lu(
                                     Lx, Ux, *ub.dev(), kp=ub.kp, csp=ub.csp)
                     for pb in lp.panels:
-                        d = pb.dev()
                         if isinstance(pb, PanelBucketC):
-                            Lx, Ux = blocks.factor_panels_lu_c(
-                                Lx, Ux, *d[:4], cp=pb.cp, rbp=pb.rbp)
+                            Lx, Ux = blocks.factor_panels_lu_uj(
+                                Lx, Ux, *pb.dev_u(), cp=pb.cp, rbp=pb.rbp)
                         else:
+                            d = pb.dev()
                             Lx, Ux = blocks.factor_panels_lu(Lx, Ux, d[0],
                                                              d[1], d[2])
         f = LUFactor(Araw, self.sym, self.plan, Lx, Ux, self.config,

@@ -113,15 +113,19 @@ class UpdateBucket:
 
 @dataclasses.dataclass
 class PanelBucketC:
-    """Contig-layout panel batch: one contiguous window per task (stride ==
-    padded width), replacing per-row windows (see Config.layout)."""
+    """Contig-layout panel batch. Storage is uniform (see build_plan): the
+    bucket's panels are one contiguous range starting at slab_lo with task
+    stride (cp + rbp) * cp — diag block rows [0, cp), below block rows
+    [cp, cp + rbp) — so the whole bucket is read and written with ONE
+    dynamic slice (per-task windows kept for the solve path)."""
     sns: np.ndarray
     widths: np.ndarray         # (B,) true column counts (0 for pad items)
     nbelow: np.ndarray         # (B,) true below-row counts
     diag_start: np.ndarray     # (B,) int32 flat start of rows 0..cp, -1 pad
-    below_start: np.ndarray    # (B,) int32 flat start of rows w..w+rbp, -1
+    below_start: np.ndarray    # (B,) int32 flat start of rows cp.., -1
     xcols: np.ndarray          # (B, Cp) global columns (solve), -1
     xrows: np.ndarray          # (B, Rbp) global below rows (solve), -1
+    slab_lo: np.ndarray        # (1,) int32 flat start of the uniform block
     cp: int                    # static padded width == storage stride
     rbp: int                   # static padded below-row count
     flops: float
@@ -134,6 +138,15 @@ class PanelBucketC:
                 self.widths, self.nbelow, self.diag_start, self.below_start,
                 self.xcols, self.xrows))
         return self._dev
+
+    def dev_u(self):
+        """(widths, nbelow, slab_lo) on device — the uniform-block
+        factorization path's inputs."""
+        if not hasattr(self, "_dev_u") or self._dev_u is None:
+            import jax.numpy as jnp
+            self._dev_u = tuple(jnp.asarray(a) for a in (
+                self.widths, self.nbelow, self.slab_lo))
+        return self._dev_u
 
 
 @dataclasses.dataclass
@@ -197,6 +210,9 @@ class FactorPlan:
     #                                           strict-upper A entries
     strides: np.ndarray | None = None  # (nsuper,) padded panel widths Wp
     slack: int = SLACK              # trailing zero slots >= max task window
+    below_shift: np.ndarray | None = None  # (nsuper,) storage-row shift of
+    #                                        below rows (uniform layout);
+    #                                        zeros for rowwin
 
     @property
     def storage(self) -> int:
@@ -258,25 +274,43 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     else:
         Wp = W.copy()     # stride == true width; windows overlap row tails
     offsets = np.zeros(nsuper, dtype=np.int64)
+    clo = max(lo, config.class_min)
     if contig:
-        # LEVEL-MAJOR storage: panels ordered by (level, stride, id), so a
-        # level's same-stride panels — the targets of one level's update
-        # chunks — form one contiguous range. Update extend-adds then run on
-        # a dynamic-sliced (slab_rows, csp) VMEM view instead of an XLA
-        # row scatter (the reference's stage-local buffer offsets idea,
-        # Cholesky/Source/SparseFrame.c:1875-1907, re-aimed at VMEM).
-        sorder = np.lexsort((np.arange(nsuper), Wp, sym.sn_level))
+        # LEVEL-MAJOR UNIFORM storage: panels ordered by (level, stride,
+        # padded-below-rows, id) and padded to exactly (Wp + RBp) rows, so
+        # every (level, cp, rbp) panel bucket is ONE contiguous range with
+        # uniform task stride — read/written with a single dynamic_slice
+        # instead of per-task gathers (~1.2us) and scatters (~2.6us each,
+        # measured on TPU), and a level's same-stride panels — the targets
+        # of its update chunks — likewise form the contiguous slab the
+        # extend-add kernel needs (the reference's stage-local buffer
+        # offsets idea, Cholesky/Source/SparseFrame.c:1875-1907, re-aimed
+        # at VMEM). Diag block lives at rows [0, cp), below block at rows
+        # [cp, cp + nb); rows [w, cp) and [cp + nb, cp + rbp) are zero
+        # padding.
+        RBp = np.asarray([_pad2(int(b), clo) if b else 0 for b in R - W],
+                         dtype=np.int64)
+        rows_sn = Wp + RBp
+        sorder = np.lexsort((np.arange(nsuper), RBp, Wp, sym.sn_level))
         csum = np.zeros(nsuper + 1, dtype=np.int64)
-        np.cumsum((R * Wp)[sorder], out=csum[1:])
+        np.cumsum((rows_sn * Wp)[sorder], out=csum[1:])
         offsets[sorder] = csum[:-1]
+        below_shift = Wp - W            # storage row = p + shift for p >= w
     else:
         np.cumsum(R[:-1] * Wp[:-1], out=offsets[1:])
-    xsize = int((R * Wp).sum())
+        rows_sn = R
+        RBp = None
+        below_shift = np.zeros(nsuper, dtype=np.int64)
+    xsize = int((rows_sn * Wp).sum())
     if xsize + SLACK >= 2**31:
         raise ValueError(f"factor too large for int32 indexing: {xsize}")
     first_col = sym.sn_start[:-1]
     rowpos = _row_position_lookup(sym)
     slack = SLACK
+
+    def smap(s_arr, p_arr):
+        """Pattern row index -> storage row index (vectorized)."""
+        return p_arr + np.where(p_arr >= W[s_arr], below_shift[s_arr], 0)
 
     # ---------------- panel buckets per level ---------------------------
     nlev = int(sym.sn_level.max()) + 1 if nsuper else 0
@@ -289,12 +323,11 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         sns = order[np.searchsorted(lvl_sorted, lv):
                     np.searchsorted(lvl_sorted, lv, side="right")]
         w, r = W[sns], R[sns]
-        clo = max(lo, config.class_min)
         if contig:
-            # class = (storage stride, padded below rows): windows are
-            # whole contiguous blocks, so cp must equal the stride
-            pkeys = np.stack([[int(a), _pad2(int(b), clo) if b else 0]
-                              for a, b in zip(Wp[sns], r - w)]) \
+            # class = (storage stride, padded below rows) — the per-panel
+            # storage pad (rows_sn) uses the same key, so a class's panels
+            # are contiguous AND uniformly strided in storage
+            pkeys = np.stack([Wp[sns], RBp[sns]], axis=1) \
                 if len(sns) else np.zeros((0, 2), np.int64)
         else:
             pkeys = np.stack([[_pad2(int(a), clo), _pad2(int(b), clo)]
@@ -303,6 +336,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         for key in (np.unique(pkeys, axis=0) if len(sns) else []):
             cp, rbp = int(key[0]), int(key[1])
             sel = sns[(pkeys[:, 0] == cp) & (pkeys[:, 1] == rbp)]
+            if contig:
+                sel = sel[np.argsort(offsets[sel], kind="stable")]
             qb = _batch_quantum(len(sel), (cp + rbp) * cp,
                                 config.max_gather_elems,
                                 config.batch_floor_elems,
@@ -314,6 +349,13 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                         first_col, sym, cp, rbp, qb)
                 levels[lv].panels.append(pb)
                 total_flops += pb.flops
+                if contig:
+                    # padded batch tail of the uniform block may overrun
+                    # storage: grow trailing slack to cover it
+                    need = int(offsets[sel[c0]]) \
+                        + qb * (cp + rbp) * cp - xsize
+                    if need > slack:
+                        slack = need
 
     # ---------------- update tasks --------------------------------------
     m = len(sym.sn_rows)
@@ -369,8 +411,18 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             [padf(a, clo) for a in t_N],
             kcls, ccls], axis=1)
         # slab working-set cap: the extend-add kernel keeps the whole slab
-        # VMEM-resident, so slab_rows * csp must fit comfortably (f32)
-        slab_cap = 1 << 20
+        # VMEM-resident, so slab_rows * csp must fit comfortably (f32).
+        # slab_rows is a PER-STRIDE constant (grown to fit the largest
+        # single panel of that stride): if it varied per (level, class),
+        # every level would mint its own switch class and compile time
+        # would blow back up (measured 114 -> 269 classes at 48^3).
+        slab_cap = 1 << 18
+        srows_by_csp = {}
+        if contig:
+            for c in np.unique(Wp):
+                big = int(rows_sn[Wp == c].max())
+                srows_by_csp[int(c)] = pad_pow2(
+                    max(slab_cap // int(c), big), 8)
         for lv in range(nlev):
             in_lv = np.flatnonzero(t_level == lv)
             if not len(in_lv):
@@ -394,29 +446,24 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                         total_flops += ub.flops
                     continue
                 # contig: order tasks by target panel offset and cut chunks
-                # so each chunk's targets fit one slab of <= slab_cap elems
+                # so each chunk's targets fit one slab of srows rows
                 sel = sel[np.argsort(offsets[t_s[sel]], kind="stable")]
                 t_off = offsets[t_s[sel]]
-                t_end = t_off + R[t_s[sel]] * Wp[t_s[sel]]
-                if int((t_end - t_off).max()) > slab_cap:
-                    raise ValueError(
-                        "target panel exceeds extend-add slab cap "
-                        f"({int((t_end - t_off).max())} > {slab_cap})")
+                t_end = t_off + rows_sn[t_s[sel]] * Wp[t_s[sel]]
+                srows = srows_by_csp[csp]
+                cap = srows * csp
                 chunks = []
                 i0 = 0
                 for i in range(1, len(sel)):
-                    if i - i0 >= qb or t_end[i] - t_off[i0] > slab_cap:
+                    if i - i0 >= qb or t_end[i] - t_off[i0] > cap:
                         chunks.append((i0, i))
                         i0 = i
                 chunks.append((i0, len(sel)))
-                span = max(int(t_end[a:b].max() - t_off[a])
-                           for a, b in chunks)
-                srows = pad_pow2(-(-span // csp), 8)       # static per class
                 for a, b in chunks:
                     ub = _make_update_bucket_c(
                         sel[a:b], t_d, t_s, t_lpos, t_M, t_N, t_K,
                         Wp, R, offsets, first_col, sym, rowpos,
-                        mp, np_, kp, csp, qb, srows)
+                        mp, np_, kp, csp, qb, srows, W, below_shift)
                     levels[lv].updates.append(ub)
                     total_flops += ub.flops
                     # the padded slab [lo, lo+srows*csp) must stay inside
@@ -433,7 +480,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         lpos = rowpos(s_of, arow)
         if (lpos < 0).any():
             raise AssertionError("A entry outside factor pattern")
-        return offsets[s_of] + lpos * Wp[s_of] + (acol - first_col[s_of])
+        return offsets[s_of] + smap(s_of, lpos) * Wp[s_of] \
+            + (acol - first_col[s_of])
 
     Ap = sp.csc_matrix(A)[sym.perm][:, sym.perm]
     assembly_idx = entry_positions(sp.tril(Ap).tocsc())
@@ -451,7 +499,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                       assembly_idx=assembly_idx, offsets=offsets,
                       flops=(2.0 if lu else 1.0) * total_flops,
                       assembly_idx_u=assembly_idx_u, strides=Wp,
-                      slack=slack)
+                      slack=slack, below_shift=below_shift)
 
 
 def _pad_batch(arrs, B, Bq, fills):
@@ -491,15 +539,16 @@ def _make_panel_bucket(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
 
 def _make_panel_bucket_c(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
                          qb=None):
-    """Contig-layout panel bucket: one (cp x cp) diag window at the panel
-    base and one (rbp x cp) below window at row w — single starts per task
-    (requires stride == cp, i.e. Wp[sel] == cp)."""
+    """Contig-layout panel bucket over a UNIFORM storage block: panels of
+    ``sel`` are contiguous with task stride (cp+rbp)*cp (asserted)."""
     B = len(sel)
     qb = pad_pow2(B, 1) if qb is None else qb
     w, r, off = W[sel], R[sel], offsets[sel]
     nb = r - w
+    stride = (cp + rbp) * cp
+    assert (np.diff(off) == stride).all(), "panel bucket not uniform"
     diag_start = off
-    below_start = off + w * cp
+    below_start = off + cp * cp            # below block at rows [cp, ...)
     ci = np.arange(cp, dtype=np.int64)[None, :]
     vc = ci < w[:, None]
     xcols = np.where(vc, first_col[sel][:, None] + ci, -1)
@@ -516,19 +565,21 @@ def _make_panel_bucket_c(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
     arrs = _pad_batch([w, nb, diag_start, below_start, xcols, xrows],
                       B, qb, [0, 0, -1, -1, -1, -1])
     return PanelBucketC(sel, *(a.astype(np.int32) for a in arrs),
-                        cp, rbp, flops)
+                        np.asarray([off[0]], np.int32), cp, rbp, flops)
 
 
 def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
                           Wp, R, offsets, first_col, sym, rowpos,
-                          mp, np_, kp, csp, qb, srows):
+                          mp, np_, kp, csp, qb, srows, W, bshift):
     """Contig-layout update bucket: one (mp x kp) source window per task
     (requires kp == Wp[d], csp == Wp[s]); slab extend-add target (tasks are
     pre-sorted by target offset, all inside [slab_lo, slab_lo+srows*csp))."""
     B = len(sel)
     d, s = t_d[sel], t_s[sel]
     lpos, M, N = t_lpos[sel], t_M[sel], t_N[sel]
-    src_start = offsets[d] + lpos * Wp[d]
+    # source rows are strictly below the descendant's diag block, which in
+    # uniform storage sits at rows [cp_d, cp_d + nb): shift by Wp[d] - W[d]
+    src_start = offsets[d] + (lpos + bshift[d]) * Wp[d]
     slab_lo = int(offsets[s[0]])
     mi = np.arange(mp, dtype=np.int64)[None, :]
     vm = mi < M[:, None]
@@ -537,9 +588,11 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     grow = sym.sn_rows[pat]
     tpos = rowpos(np.broadcast_to(s[:, None], grow.shape).ravel(),
                   grow.ravel()).reshape(grow.shape)
+    # target storage row: diag rows stay, below rows shift past the padding
+    spos = tpos + np.where(tpos >= W[s][:, None], bshift[s][:, None], 0)
     base_row = (offsets[s] - slab_lo) // csp                # panel row base
     tgt_lrow = np.where(vm & (tpos >= 0),
-                        base_row[:, None] + tpos, -1)
+                        base_row[:, None] + spos, -1)
     ni = np.arange(np_, dtype=np.int64)[None, :]
     vn = ni < N[:, None]
     patn = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + ni,

@@ -139,14 +139,21 @@ def _register_solves(lib):
     for name, vp in [("spfx_chol_solve_f32", f32p),
                      ("spfx_chol_solve_f64", f64p)]:
         fn = getattr(lib, name)
-        fn.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, vp, f64p]
+        fn.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p,
+                       vp, f64p]
         fn.restype = None
     for name, vp in [("spfx_lu_solve_f32", f32p),
                      ("spfx_lu_solve_f64", f64p)]:
         fn = getattr(lib, name)
-        fn.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, vp, vp,
-                       f64p]
+        fn.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p,
+                       vp, vp, f64p]
         fn.restype = None
+
+
+def _bshift(sym, plan):
+    if plan.below_shift is None:
+        return np.zeros(sym.nsuper, dtype=np.int64)
+    return _i64(plan.below_shift)
 
 
 def _solve_ptr(a):
@@ -165,9 +172,10 @@ def chol_solve_host(sym, plan, Lh: np.ndarray, x: np.ndarray) -> None:
     ptr, tag = _solve_ptr(Lh)
     fn = getattr(lib, f"spfx_chol_solve_{tag}")
     import ctypes
+    sh = _bshift(sym, plan)
     fn(sym.nsuper, _p64(_i64(sym.sn_start)), _p64(_i64(sym.sn_ptr)),
        _p64(_i64(sym.sn_rows)), _p64(_i64(plan.offsets)),
-       _p64(_i64(plan.strides)), ptr,
+       _p64(_i64(plan.strides)), _p64(sh), ptr,
        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
 
 
@@ -182,7 +190,8 @@ def lu_solve_host(sym, plan, Lh: np.ndarray, Uh: np.ndarray,
     uptr, _ = _solve_ptr(Uh)
     fn = getattr(lib, f"spfx_lu_solve_{tag}")
     import ctypes
+    sh = _bshift(sym, plan)
     fn(sym.nsuper, _p64(_i64(sym.sn_start)), _p64(_i64(sym.sn_ptr)),
        _p64(_i64(sym.sn_rows)), _p64(_i64(plan.offsets)),
-       _p64(_i64(plan.strides)), lptr, uptr,
+       _p64(_i64(plan.strides)), _p64(sh), lptr, uptr,
        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))

@@ -153,9 +153,9 @@ def _time_class(r, c, mych, L0, k):
                 cp, rbp = static
 
                 def br(L, i):
-                    w, nb, ds, bs = M._take(tabs, i)
-                    return blocks.factor_panels_chol_c.__wrapped__(
-                        L, w, nb, ds, bs, cp, rbp)
+                    w, nb, lo = M._take(tabs, i)
+                    return blocks.factor_panels_chol_u(L, w, nb, lo[0],
+                                                       cp, rbp)
             else:
                 def br(L, i):
                     w, drs, brs_ = M._take(tabs, i)
