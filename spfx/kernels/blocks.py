@@ -261,27 +261,23 @@ def _row_mask(nrows, rp, dtype):
 
 def _chol_deltas_blocks(Draw, Braw, widths, nbelow, cp: int, rbp: int):
     """Cholesky panel deltas from task-major blocks Draw (B, cp, cp) /
-    Braw (B, rbp, cp). Routes to the batch-in-lanes Pallas kernel (small
-    cp), the blocked wide Pallas kernel (cp <= WIDE_CP_MAX), or the XLA
-    expanders (complex / non-TPU)."""
-    from spfx.kernels import pallas_blocks
+    Braw (B, rbp, cp). Routed by the single scoped-VMEM footprint model
+    (spfx.kernels.vmem.route_panel): batch-in-lanes Pallas kernel for
+    narrow panels, blocked wide Pallas kernel for cp >= 128 or whatever
+    the lanes stack can't hold, XLA expanders for complex / non-TPU."""
+    from spfx.kernels import pallas_blocks, vmem
     B = widths.shape[0]
-    # batch-in-lanes kernel wants lanes filled (batch >= ~16) and its
-    # (cp, cp, slab) diag block within ~2MB of VMEM (slab is forced to
-    # min(B, 128) by lane tiling); the task-serial blocked wide kernel
-    # covers the few near-root panels with tiny batch or huge footprint
-    lanes_ok = cp <= 32 or (B >= 16
-                            and cp * cp * min(B, 128) <= (1 << 19))
-    if _unrolled() and not jnp.iscomplexobj(Draw) \
-            and cp <= pallas_blocks.LANES_CP_MAX and lanes_ok:
+    route = "xla"
+    if _unrolled() and not jnp.iscomplexobj(Draw):
+        route = vmem.route_panel(cp, rbp, B, Draw.dtype.itemsize)
+    if route == "lanes":
         DrawT = jnp.transpose(Draw, (1, 2, 0))
         BrawT = jnp.transpose(Braw, (1, 2, 0)) if rbp \
             else jnp.zeros((0, cp, B), Draw.dtype)
         ddT, dbT = pallas_blocks.chol_panel_deltas_lanes(
             widths, nbelow, DrawT, BrawT, cp=cp, rbp=rbp)
         return jnp.transpose(ddT, (2, 0, 1)), jnp.transpose(dbT, (2, 0, 1))
-    if _unrolled() and not jnp.iscomplexobj(Draw) \
-            and cp <= pallas_blocks.WIDE_CP_MAX:
+    if route == "wide":
         # wide panels: blocked Pallas kernel (MXU trailing updates), no XLA
         # linalg While loop inside the mega scan
         return pallas_blocks.chol_panel_deltas_wide(
@@ -396,15 +392,15 @@ def apply_updates_sym_c(L, kw, mrows, src_start, slab_lo, tgt_lrow,
 
 def _lu_deltas_blocks(DLraw, DUraw, BLraw, BUraw, widths, nbelow,
                       cp: int, rbp: int):
-    """LU panel deltas from task-major blocks (cf. _chol_deltas_blocks);
-    returns (dDL, dBL, dDU, dBU)."""
-    from spfx.kernels import pallas_blocks
+    """LU panel deltas from task-major blocks (cf. _chol_deltas_blocks,
+    same vmem-model routing with lu=True: twin L/U blocks double the
+    resident footprint); returns (dDL, dBL, dDU, dBU)."""
+    from spfx.kernels import pallas_blocks, vmem
     B = widths.shape[0]
-    # LU keeps twin L/U blocks resident, so halve the chol footprint cap
-    lanes_ok = cp <= 32 or (B >= 16
-                            and cp * cp * min(B, 128) <= (1 << 18))
-    if _unrolled() and not jnp.iscomplexobj(DLraw) \
-            and cp <= pallas_blocks.LANES_CP_MAX and lanes_ok:
+    route = "xla"
+    if _unrolled() and not jnp.iscomplexobj(DLraw):
+        route = vmem.route_panel(cp, rbp, B, DLraw.dtype.itemsize, lu=True)
+    if route == "lanes":
         t = lambda a: jnp.transpose(a, (1, 2, 0))
         z = jnp.zeros((0, cp, widths.shape[0]), DLraw.dtype)
         ddl, ddu, dbl, dbu = pallas_blocks.lu_panel_deltas_lanes(
@@ -412,8 +408,7 @@ def _lu_deltas_blocks(DLraw, DUraw, BLraw, BUraw, widths, nbelow,
             t(BLraw) if rbp else z, t(BUraw) if rbp else z, cp=cp, rbp=rbp)
         b = lambda a: jnp.transpose(a, (2, 0, 1))
         return b(ddl), b(dbl), b(ddu), b(dbu)
-    if _unrolled() and not jnp.iscomplexobj(DLraw) \
-            and cp <= pallas_blocks.WIDE_CP_MAX:
+    if route == "wide":
         ddl, ddu, dbl, dbu = pallas_blocks.lu_panel_deltas_wide(
             widths, nbelow, DLraw, DUraw, BLraw, BUraw, cp=cp, rbp=rbp)
         return ddl, dbl, ddu, dbu

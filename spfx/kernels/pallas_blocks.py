@@ -18,9 +18,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spfx.kernels import vmem
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _guard(name: str, nbytes: int) -> None:
+    """Assert the modeled scoped-VMEM stack fits (TPU only: interpret mode
+    has no VMEM, and the CPU test suite runs f64 shapes that would trip a
+    hardware-sized cap)."""
+    if not _interpret():
+        vmem.assert_fits(name, nbytes)
 
 
 # --------------------------------------------------------------------------
@@ -100,7 +110,7 @@ def syrk_gemm_batched(A, B, slab: int = 32):
 # cuSOLVER potrf + cuBLAS trsm (ref Cholesky/Source/SparseFrame.c:2795-2837).
 # --------------------------------------------------------------------------
 
-LANES_CP_MAX = 256         # lanes kernels cover panel widths up to this
+LANES_CP_MAX = vmem.LANES_CP_MAX
 _LANE = 128
 
 
@@ -201,30 +211,18 @@ def _chol_panel_lanes_kernel(w_ref, nb_ref, d_ref, b_ref, dd_ref, db_ref,
 
 
 def _lanes_slab(B: int, cp: int, rbp: int):
-    """Lane-count per grid step: fill the 128 lanes when the batch allows.
-    Mosaic lane tiling forces slab to be a multiple of 128 or the whole
-    batch, so VMEM pressure is managed by the caller's routing (see
-    blocks._chol_deltas_blocks) and by _row_blk, not by shrinking slab."""
-    s = 1
-    while s * 2 <= min(B, _LANE):
-        s *= 2
-    return s
+    """Lane-count per grid step (see vmem.lanes_slab; VMEM pressure is
+    managed by the footprint-model routing in blocks.py, not by shrinking
+    slab — Mosaic pads the lane dim to 128 regardless)."""
+    return vmem.lanes_slab(B)
 
 
-def _row_blk(rbp: int, cp: int, slab: int, budget: int = 1 << 16):
-    """Below-panel rows per grid step. ``budget`` bounds the row-block's
-    bytes; the kernel's scoped-VMEM stack (double-buffered in/out blocks plus
-    the trsm intermediates) is a small multiple of it — measured on v5e:
-    2MB diag blocks (cp=64, slab=128) with 1MB row blocks hit 18.11M scoped
-    > 16M, so row blocks stay small; the diag-block footprint itself is
-    bounded by the lanes/wide routing in blocks.py."""
-    if rbp == 0:
-        return 0
-    r = max(1, budget // max(1, cp * slab * 4))
-    b = 1
-    while b * 2 <= min(r, rbp):
-        b *= 2
-    return b
+def _row_blk(rbp: int, cp: int, slab: int, itemsize: int = 4,
+             budget: int = 1 << 16):
+    """Below-panel rows per grid step, bounded in PADDED tile bytes (see
+    vmem.lanes_row_blk — round 3's nominal-byte version under-counted
+    slab < 128 blocks by 128/slab and OOMed on hardware)."""
+    return vmem.lanes_row_blk(rbp, cp, slab, itemsize, budget)
 
 
 def _chol_diag_lanes_kernel(w_ref, d_ref, dd_ref):
@@ -245,6 +243,8 @@ def chol_panel_deltas_lanes(widths, nbelow, DrawT, BrawT, cp: int, rbp: int):
     widths/nbelow (B,) -> (ddT (cp,cp,B), dbT (rbp,cp,B))."""
     B = widths.shape[0]
     slab = _lanes_slab(B, cp, rbp)
+    _guard("chol_panel_deltas_lanes",
+           vmem.lanes_panel_bytes(cp, rbp, B, DrawT.dtype.itemsize))
     w2 = widths.reshape(1, B)
     sblk = pl.BlockSpec((1, slab), lambda bi, ri: (0, bi),
                         memory_space=pltpu.VMEM)
@@ -266,7 +266,7 @@ def chol_panel_deltas_lanes(widths, nbelow, DrawT, BrawT, cp: int, rbp: int):
         interpret=_interpret(),
         )(w2, DrawT)
         return dd, jnp.zeros((0, cp, B), DrawT.dtype)
-    rblk = _row_blk(rbp, cp, slab)
+    rblk = _row_blk(rbp, cp, slab, DrawT.dtype.itemsize)
     grid = (B // slab, rbp // rblk)
     nb2 = nbelow.reshape(1, B)
     bblk = pl.BlockSpec((rblk, cp, slab), lambda bi, ri: (ri, 0, bi),
@@ -383,6 +383,8 @@ def lu_panel_deltas_lanes(widths, nbelow, DLt, DUt, BLt, BUt,
     """Lanes-layout LU panel deltas -> (ddlT, dduT, dblT, dbuT)."""
     B = widths.shape[0]
     slab = _lanes_slab(B, cp, rbp)
+    _guard("lu_panel_deltas_lanes",
+           vmem.lanes_panel_bytes(cp, rbp, B, DLt.dtype.itemsize, lu=True))
     w2 = widths.reshape(1, B)
     sblk = pl.BlockSpec((1, slab), lambda bi, ri: (0, bi),
                         memory_space=pltpu.VMEM)
@@ -406,7 +408,7 @@ def lu_panel_deltas_lanes(widths, nbelow, DLt, DUt, BLt, BUt,
         )(w2, DLt, DUt)
         z = jnp.zeros((0, cp, B), DLt.dtype)
         return ddl, ddu, z, z
-    rblk = _row_blk(rbp, cp, slab, budget=1 << 17)
+    rblk = _row_blk(rbp, cp, slab, DLt.dtype.itemsize, budget=1 << 17)
     grid = (B // slab, rbp // rblk)
     nb2 = nbelow.reshape(1, B)
     bblk = pl.BlockSpec((rblk, cp, slab), lambda bi, ri: (ri, 0, bi),
@@ -463,14 +465,18 @@ def _extend_add_kernel(rows_ref, e_ref, slab_in_ref, slab_ref):
 
 def extend_add_rows(slab, rows, Ef):
     """slab (Rs, csp) -= rows of Ef (RE_total, csp) at sublane indices
-    ``rows`` (RE_total,); row < 0 drops. Complex falls back to XLA scatter
-    (Mosaic has no complex support)."""
+    ``rows`` (RE_total,); row < 0 drops. Falls back to XLA scatter when
+    Mosaic can't hold the slab (complex dtypes, or a slab whose padded
+    bytes exceed the routing cap — near-root strides can exceed VMEM)."""
     Rs, csp = slab.shape
     total = Ef.shape[0]
-    if jnp.iscomplexobj(Ef):
+    it = Ef.dtype.itemsize
+    RE = vmem.extend_add_re(csp, total, it)
+    if jnp.iscomplexobj(Ef) or vmem.no_pallas() \
+            or vmem.extend_add_bytes(Rs, csp, RE, it) > vmem.CAP_ROUTE:
         sent = jnp.where(rows >= 0, rows, Rs)      # Rs is OOB -> dropped
         return slab.at[sent].add(-Ef, mode="drop")
-    RE = min(total, max(512, (1 << 19) // csp))
+    _guard("extend_add_rows", vmem.extend_add_bytes(Rs, csp, RE, it))
     pad = (-total) % RE
     if pad:
         Ef = jnp.concatenate([Ef, jnp.zeros((pad, csp), Ef.dtype)])
@@ -486,6 +492,7 @@ def extend_add_rows(slab, rows, Ef):
         out_specs=pl.BlockSpec((Rs, csp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rs, csp), Ef.dtype),
+        input_output_aliases={2: 0},       # slab buffer updated in place
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
@@ -503,7 +510,7 @@ def extend_add_rows(slab, rows, Ef):
 # (Cholesky/Source/SparseFrame.c:2838-2940) and blocked LU (:3384-3513).
 # --------------------------------------------------------------------------
 
-WIDE_CP_MAX = 256          # wide kernels cover panel widths up to this
+WIDE_CP_MAX = vmem.WIDE_CP_MAX
 _WBLK = 32                 # column-panel width of the blocked factorization
 
 
@@ -629,14 +636,10 @@ def _chol_panel_wide_kernel(w_ref, nb_ref, d_ref, b_ref, dd_ref, db_ref,
         db_ref[0] = (L21 - Braw) * cmc * rm
 
 
-def _wide_row_blk(rbp: int, cp: int, budget: int = 1 << 17):
-    if rbp == 0:
-        return 0
-    r = max(_WBLK, budget // max(1, cp))
-    b = _WBLK
-    while b * 2 <= min(r, rbp):
-        b *= 2
-    return min(b, rbp)
+def _wide_row_blk(rbp: int, cp: int, itemsize: int = 4,
+                  budget: int = 1 << 17):
+    """Below rows per wide grid step, in padded tile bytes (vmem model)."""
+    return vmem.wide_row_blk(rbp, cp, itemsize, budget)
 
 
 def _chol_diag_wide_kernel(w_ref, d_ref, dd_ref):
@@ -660,6 +663,8 @@ def chol_panel_deltas_wide(widths, nbelow, Draw, Braw, cp: int, rbp: int):
     """Task-major wide-panel Cholesky deltas: Draw (B, cp, cp),
     Braw (B, rbp, cp), widths/nbelow (B,) -> (dd, db) same layouts."""
     B = widths.shape[0]
+    _guard("chol_panel_deltas_wide",
+           vmem.wide_panel_bytes(cp, rbp, B, Draw.dtype.itemsize))
     w2 = widths
     nb2 = nbelow
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -678,7 +683,7 @@ def chol_panel_deltas_wide(widths, nbelow, Draw, Braw, cp: int, rbp: int):
         interpret=_interpret(),
         )(w2, Draw)
         return dd, jnp.zeros((B, 0, cp), Draw.dtype)
-    rblk = _wide_row_blk(rbp, cp)
+    rblk = _wide_row_blk(rbp, cp, Draw.dtype.itemsize)
     grid = (B, rbp // rblk)
     sblk = smem
     dblk = pl.BlockSpec((1, cp, cp), lambda bi, ri: (bi, 0, 0),
@@ -819,6 +824,8 @@ def _lu_diag_wide_kernel(w_ref, dl_ref, du_ref, ddl_ref, ddu_ref):
 def lu_panel_deltas_wide(widths, nbelow, DL, DU, BL, BU, cp: int, rbp: int):
     """Task-major wide-panel LU deltas -> (ddl, ddu, dbl, dbu)."""
     B = widths.shape[0]
+    _guard("lu_panel_deltas_wide",
+           vmem.wide_panel_bytes(cp, rbp, B, DL.dtype.itemsize, lu=True))
     w2 = widths
     nb2 = nbelow
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -838,7 +845,7 @@ def lu_panel_deltas_wide(widths, nbelow, DL, DU, BL, BU, cp: int, rbp: int):
         )(w2, DL, DU)
         z = jnp.zeros((B, 0, cp), DL.dtype)
         return ddl, ddu, z, z
-    rblk = _wide_row_blk(rbp, cp, budget=1 << 16)
+    rblk = _wide_row_blk(rbp, cp, DL.dtype.itemsize, budget=1 << 16)
     grid = (B, rbp // rblk)
     sblk = smem
     dblk = pl.BlockSpec((1, cp, cp), lambda bi, ri: (bi, 0, 0),

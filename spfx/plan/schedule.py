@@ -411,18 +411,22 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             [padf(a, clo) for a in t_N],
             kcls, ccls], axis=1)
         # slab working-set cap: the extend-add kernel keeps the whole slab
-        # VMEM-resident, so slab_rows * csp must fit comfortably (f32).
-        # slab_rows is a PER-STRIDE constant (grown to fit the largest
-        # single panel of that stride): if it varied per (level, class),
-        # every level would mint its own switch class and compile time
-        # would blow back up (measured 114 -> 269 classes at 48^3).
-        slab_cap = 1 << 18
+        # VMEM-resident, so its PADDED bytes (lane dim rounds up to 128 —
+        # see spfx.kernels.vmem) must fit comfortably. slab_rows is a
+        # PER-STRIDE constant (grown to fit the largest single panel of
+        # that stride — such oversized slabs fall back to XLA scatter in
+        # extend_add_rows): if it varied per (level, class), every level
+        # would mint its own switch class and compile time would blow back
+        # up (measured 114 -> 269 classes at 48^3).
+        slab_bytes = 1 << 21
+        itemsize = np.dtype(config.dtype).itemsize
         srows_by_csp = {}
         if contig:
             for c in np.unique(Wp):
                 big = int(rows_sn[Wp == c].max())
+                lane_bytes = max(128, int(c)) * itemsize
                 srows_by_csp[int(c)] = pad_pow2(
-                    max(slab_cap // int(c), big), 8)
+                    max(slab_bytes // lane_bytes, big), 8)
         for lv in range(nlev):
             in_lv = np.flatnonzero(t_level == lv)
             if not len(in_lv):

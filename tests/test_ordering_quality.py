@@ -31,10 +31,47 @@ def test_amd_beats_natural_on_grid():
 
 
 def test_nd_beats_natural_on_3d():
+    # multi-start BFS + FM refinement measures 0.33x natural fill at 10^3
+    # (round-3 single-shot BFS was ~0.6x; bound tightened accordingly)
     A = generate.laplacian_3d(10)
     f_nat = fill_of(A, np.arange(A.shape[0]))
     f_nd = fill_of(A, order(A, "nd"))
-    assert f_nd < 0.7 * f_nat
+    assert f_nd < 0.4 * f_nat
+
+
+def test_fm_refinement_preserves_separator_invariant():
+    """After FM, no edge may connect side 0 to side 1."""
+    from spfx.ordering import nd
+    import scipy.sparse as sp
+    A = generate.laplacian_3d(8)
+    S = ((A != 0) + (A != 0).T)
+    S.setdiag(0)
+    S.eliminate_zeros()
+    S = S.tocsr().astype(np.int8)
+    rng = np.random.default_rng(0)
+    labels = nd._separator_labels(S, rng)
+    a = np.flatnonzero(labels == 0)
+    b = np.flatnonzero(labels == 1)
+    assert len(a) and len(b)
+    assert S[a][:, b].nnz == 0
+    # balance within the FM cap
+    assert max(len(a), len(b)) <= nd._BAL_CAP * S.shape[0] + 1
+
+
+def test_multilevel_fallback_is_valid_partition():
+    from spfx.ordering import nd
+    import scipy.sparse as sp
+    A = generate.laplacian_3d(9)
+    S = ((A != 0) + (A != 0).T)
+    S.setdiag(0)
+    S.eliminate_zeros()
+    S = S.tocsr().astype(np.int8)
+    rng = np.random.default_rng(1)
+    labels = nd._multilevel_labels(S, rng)
+    a = np.flatnonzero(labels == 0)
+    b = np.flatnonzero(labels == 1)
+    assert len(a) and len(b)
+    assert S[a][:, b].nnz == 0
 
 
 @pytest.mark.skipif(not _native.available(), reason="native planner not built")

@@ -1,0 +1,110 @@
+"""Plan-coverage test of the scoped-VMEM footprint model (spfx.kernels.vmem).
+
+Round-3 postmortem: the benchmark compile-crashed on real TPU because the
+(cp=128, rbp=512, B=16) lanes panel class at 48^3 exceeded the 64MB scoped
+VMEM limit (Mosaic measured 66.46M); no CPU test could catch it because
+interpret mode has no VMEM. This test builds the exact benchmark plans on
+CPU, enumerates every switch class the mega engine would compile, and
+asserts the routed kernel's modeled footprint fits — so any future class
+that would OOM on hardware fails HERE first.
+"""
+
+import pytest
+
+from spfx.kernels import vmem
+
+F32 = 4
+
+
+def test_model_reproduces_round3_oom():
+    # The one hardware-measured data point: Mosaic reported a 66.46M scoped
+    # stack for the (cp=128, rbp=512, B=16) lanes class. The model must
+    # both reject the class and reproduce the number (within 10%).
+    got = vmem.lanes_panel_bytes(128, 512, 16, F32)
+    assert got > vmem.CAP_ROUTE
+    assert abs(got - 66.46 * 2**20) / (66.46 * 2**20) < 0.10, got / 2**20
+
+
+def test_round3_classes_route_safely():
+    # the class that crashed round 3, plus the two the verdict flagged as
+    # lanes-routed-and-unverified
+    assert vmem.route_panel(128, 512, 16, F32) == "wide"
+    assert vmem.route_panel(128, 256, 32, F32) == "wide"
+    r = vmem.route_panel(16, 1024, 64, F32)
+    assert r == "lanes"
+    assert vmem.lanes_panel_bytes(16, 1024, 64, F32) <= vmem.CAP_ROUTE
+
+
+def test_narrow_panels_stay_on_lanes():
+    # the bread-and-butter classes must keep the fast path
+    for cp, rbp, B in [(8, 8, 256), (16, 64, 512), (32, 128, 128),
+                       (64, 512, 128), (64, 256, 2048)]:
+        assert vmem.route_panel(cp, rbp, B, F32) == "lanes", (cp, rbp, B)
+
+
+def _plan_classes(grid: int):
+    from spfx.io import generate
+    from spfx.utils.config import Config
+    from spfx.symbolic.analyze import analyze
+    from spfx.plan.schedule import build_plan, PanelBucketC, UpdateBucketC
+
+    A = generate.laplacian_3d(grid)
+    config = Config(dtype="float32", ordering="nd", engine="mega",
+                    matmul_precision="highest", class_min=8)
+    sym = analyze(A, config)
+    plan = build_plan(sym, A, config)
+    panels, updates = {}, {}
+    for lp in plan.levels:
+        for pb in lp.panels:
+            assert isinstance(pb, PanelBucketC)
+            k = (pb.cp, pb.rbp, len(pb.widths))
+            panels[k] = panels.get(k, 0) + 1
+        for ub in lp.updates:
+            assert isinstance(ub, UpdateBucketC)
+            k = (ub.mp, ub.kp, ub.csp, ub.slab_rows, len(ub.kw))
+            updates[k] = updates.get(k, 0) + 1
+    return panels, updates
+
+
+@pytest.mark.parametrize("grid", [16, 32, 48])
+def test_bench_plan_classes_fit(grid):
+    panels, updates = _plan_classes(grid)
+    assert panels and updates
+
+    for (cp, rbp, B) in panels:
+        for lu in (False, True):
+            route = vmem.route_panel(cp, rbp, B, F32, lu=lu)
+            if route == "lanes":
+                nb = vmem.lanes_panel_bytes(cp, rbp, B, F32, lu=lu)
+            elif route == "wide":
+                nb = vmem.wide_panel_bytes(cp, rbp, B, F32, lu=lu)
+            else:
+                continue                       # XLA expanders: no VMEM cap
+            assert nb <= vmem.CAP_ROUTE, (grid, cp, rbp, B, lu, nb / 2**20)
+
+    # extend-add: every slab class must either fit the Pallas kernel or be
+    # known to take the scatter fallback — and the fallback must stay rare
+    # (it is ~2.6us/row; the Pallas row loop is the whole point)
+    fell_back = fitted = 0
+    for (mp, kp, csp, srows, B), count in updates.items():
+        re = vmem.extend_add_re(csp, B * mp, F32)
+        nb = vmem.extend_add_bytes(srows, csp, re, F32)
+        if nb <= vmem.CAP_ROUTE:
+            assert nb <= vmem.CAP_HARD
+            fitted += count
+        else:
+            fell_back += count
+    assert fitted + fell_back > 0
+    assert fell_back <= 0.2 * (fitted + fell_back), \
+        f"extend-add scatter fallback on {fell_back}/{fitted + fell_back} " \
+        "update chunks — slab sizing regressed (see schedule srows_by_csp)"
+
+
+def test_48cube_has_wide_classes():
+    # the near-root cp=128 classes exist at the bench size and must route
+    # to the wide kernel (this is the round-3 crash site)
+    panels, _ = _plan_classes(48)
+    wide = [(cp, rbp, B) for (cp, rbp, B) in panels if cp >= 128]
+    assert wide, "expected cp>=128 panel classes at 48^3"
+    for cp, rbp, B in wide:
+        assert vmem.route_panel(cp, rbp, B, F32) == "wide", (cp, rbp, B)
