@@ -82,6 +82,19 @@ def random_hermitian(n: int, density: float = 0.05,
     return sp.csc_matrix(H + sp.diags(rowsum + 1.0))
 
 
+def random_unsym_complex(n: int, density: float = 0.05, seed: int = 0
+                         ) -> sp.csc_matrix:
+    """Random sparse diagonally-dominant complex unsymmetric matrix, for
+    the zgetrf_nopiv line of the reference (LU/Source/SparseFrame.c:2652)."""
+    rng = np.random.default_rng(seed)
+    B = sp.random(n, n, density=density, random_state=rng, format="csc")
+    B = sp.csc_matrix((B.data * np.exp(2j * np.pi * rng.random(B.nnz)),
+                       B.indices.copy(), B.indptr.copy()), shape=B.shape)
+    rowsum = np.asarray(np.abs(B).sum(axis=1)).ravel()
+    colsum = np.asarray(np.abs(B).sum(axis=0)).ravel()
+    return sp.csc_matrix(B + sp.diags(rowsum + colsum + 1.0))
+
+
 def stretched_grid(nx: int, ny: int, aniso: float = 100.0) -> sp.csc_matrix:
     """Anisotropic 2D operator — produces long thin supernodes, a harder
     shape mix for the bucketed batched kernels."""

@@ -72,8 +72,8 @@ def _collect(plan, solve_only: bool = False):
         if cid is None:
             cid = len(classes)
             key_to_cid[key] = cid
-            classes.append({"kind": kind, "static": static, "rows": [],
-                            "fills": fills})
+            classes.append({"kind": kind, "key": key, "static": static,
+                            "rows": [], "fills": fills})
         cls_ids.append(cid)
         chunk_ids.append(len(classes[cid]["rows"]))
         classes[cid]["rows"].append(host_arrays)
@@ -143,7 +143,7 @@ def _collect(plan, solve_only: bool = False):
             padded.append(row)
         c["tables"] = [_stack([r[i] for r in padded])
                        for i in range(ntab)]
-        del c["rows"], c["fills"]
+        del c["rows"]
     return classes, np.asarray(cls_ids, np.int32), \
         np.asarray(chunk_ids, np.int32)
 
@@ -162,6 +162,98 @@ def _unflatten(layout, flat):
         out.append(tuple(flat[k:k + n]))
         k += n
     return out
+
+
+def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
+    """One traced branch per shape class (shared by MegaRunner and the
+    subtree-sharded engine in spfx.dist.subtree). Each branch maps
+    (carry, chunk_index) -> carry; carry is L (Cholesky) or (Lx, Ux)."""
+    from spfx.kernels import blocks as B
+    brs = []
+    for (kind, static), tabs in zip(kinds, tabs_by_class):
+        if not lu:
+            if kind == "U":
+                kp, csp = static
+
+                def br(L, i, tabs=tabs, kp=kp, csp=csp):
+                    kw, srs, trs, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        E = B.update_rows_sym(L, kw, srs, cpos, kp, csp)
+                    return B._win_scatter_add(L, trs, -E)
+            elif kind == "UC":
+                mp, kp, csp, srows = static
+
+                def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                       srows=srows):
+                    kw, mr, ss, lo, lrow, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        E = B.update_rows_sym_c(
+                            L, kw, mr, ss, cpos, mp, kp, csp)
+                    return B.extend_add_slab(L, lo[0], lrow, E, srows, csp)
+            elif kind == "PC":
+                cp, rbp = static
+
+                def br(L, i, tabs=tabs, cp=cp, rbp=rbp):
+                    w, nb, lo = _take(tabs, i)
+                    with jax.default_matmul_precision(fac_prec):
+                        return B.factor_panels_chol_u(L, w, nb, lo[0],
+                                                      cp, rbp)
+            else:
+                def br(L, i, tabs=tabs):
+                    w, drs, brs_ = _take(tabs, i)
+                    with jax.default_matmul_precision(fac_prec):
+                        dD, dB = B.panel_deltas_chol(L, w, drs, brs_)
+                    L = B._win_scatter_add(L, drs, dD)
+                    return B._win_scatter_add(L, brs_, dB)
+        else:
+            if kind == "U":
+                kp, csp = static
+
+                def br(carry, i, tabs=tabs, kp=kp, csp=csp):
+                    Lx, Ux = carry
+                    kw, srs, trs, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        EL, EU = B.update_rows_lu(
+                            Lx, Ux, kw, srs, cpos, kp, csp)
+                    Lx = B._win_scatter_add(Lx, trs, -EL)
+                    Ux = B._win_scatter_add(Ux, trs, -EU)
+                    return Lx, Ux
+            elif kind == "UC":
+                mp, kp, csp, srows = static
+
+                def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                       srows=srows):
+                    Lx, Ux = carry
+                    kw, mr, ss, lo, lrow, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        EL, EU = B.update_rows_lu_c(
+                            Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
+                    Lx = B.extend_add_slab(Lx, lo[0], lrow, EL, srows, csp)
+                    Ux = B.extend_add_slab(Ux, lo[0], lrow, EU, srows, csp)
+                    return Lx, Ux
+            elif kind == "PC":
+                cp, rbp = static
+
+                def br(carry, i, tabs=tabs, cp=cp, rbp=rbp):
+                    Lx, Ux = carry
+                    w, nb, lo = _take(tabs, i)
+                    with jax.default_matmul_precision(fac_prec):
+                        return B.factor_panels_lu_u(Lx, Ux, w, nb, lo[0],
+                                                    cp, rbp)
+            else:
+                def br(carry, i, tabs=tabs):
+                    Lx, Ux = carry
+                    w, drs, brs_ = _take(tabs, i)
+                    with jax.default_matmul_precision(fac_prec):
+                        dDL, dBL, dDU, dBU = B.panel_deltas_lu(
+                            Lx, Ux, w, drs, brs_)
+                    Lx = B._win_scatter_add(Lx, drs, dDL)
+                    Lx = B._win_scatter_add(Lx, brs_, dBL)
+                    Ux = B._win_scatter_add(Ux, drs, dDU)
+                    Ux = B._win_scatter_add(Ux, brs_, dBU)
+                    return Lx, Ux
+        brs.append(br)
+    return brs
 
 
 class MegaRunner:
@@ -184,97 +276,11 @@ class MegaRunner:
         upd_prec = config.update_precision or fac_prec
         storage = self.storage
 
+        kinds = self._kinds
+
         def branches(tabs_by_class):
-            brs = []
-            for (kind, static), tabs in zip(self._kinds, tabs_by_class):
-                if not lu:
-                    if kind == "U":
-                        kp, csp = static
-
-                        def br(L, i, tabs=tabs, kp=kp, csp=csp):
-                            kw, srs, trs, cpos = _take(tabs, i)
-                            with jax.default_matmul_precision(upd_prec):
-                                E = blocks.update_rows_sym(
-                                    L, kw, srs, cpos, kp, csp)
-                            return blocks._win_scatter_add(L, trs, -E)
-                    elif kind == "UC":
-                        mp, kp, csp, srows = static
-
-                        def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
-                               srows=srows):
-                            kw, mr, ss, lo, lrow, cpos = _take(tabs, i)
-                            with jax.default_matmul_precision(upd_prec):
-                                E = blocks.update_rows_sym_c(
-                                    L, kw, mr, ss, cpos, mp, kp, csp)
-                            return blocks.extend_add_slab(
-                                L, lo[0], lrow, E, srows, csp)
-                    elif kind == "PC":
-                        cp, rbp = static
-
-                        def br(L, i, tabs=tabs, cp=cp, rbp=rbp):
-                            w, nb, lo = _take(tabs, i)
-                            with jax.default_matmul_precision(fac_prec):
-                                return blocks.factor_panels_chol_u(
-                                    L, w, nb, lo[0], cp, rbp)
-                    else:
-                        def br(L, i, tabs=tabs):
-                            w, drs, brs_ = _take(tabs, i)
-                            with jax.default_matmul_precision(fac_prec):
-                                dD, dB = blocks.panel_deltas_chol(
-                                    L, w, drs, brs_)
-                            L = blocks._win_scatter_add(L, drs, dD)
-                            return blocks._win_scatter_add(L, brs_, dB)
-                else:
-                    if kind == "U":
-                        kp, csp = static
-
-                        def br(carry, i, tabs=tabs, kp=kp, csp=csp):
-                            Lx, Ux = carry
-                            kw, srs, trs, cpos = _take(tabs, i)
-                            with jax.default_matmul_precision(upd_prec):
-                                EL, EU = blocks.update_rows_lu(
-                                    Lx, Ux, kw, srs, cpos, kp, csp)
-                            Lx = blocks._win_scatter_add(Lx, trs, -EL)
-                            Ux = blocks._win_scatter_add(Ux, trs, -EU)
-                            return Lx, Ux
-                    elif kind == "UC":
-                        mp, kp, csp, srows = static
-
-                        def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
-                               srows=srows):
-                            Lx, Ux = carry
-                            kw, mr, ss, lo, lrow, cpos = _take(tabs, i)
-                            with jax.default_matmul_precision(upd_prec):
-                                EL, EU = blocks.update_rows_lu_c(
-                                    Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
-                            Lx = blocks.extend_add_slab(Lx, lo[0], lrow,
-                                                        EL, srows, csp)
-                            Ux = blocks.extend_add_slab(Ux, lo[0], lrow,
-                                                        EU, srows, csp)
-                            return Lx, Ux
-                    elif kind == "PC":
-                        cp, rbp = static
-
-                        def br(carry, i, tabs=tabs, cp=cp, rbp=rbp):
-                            Lx, Ux = carry
-                            w, nb, lo = _take(tabs, i)
-                            with jax.default_matmul_precision(fac_prec):
-                                return blocks.factor_panels_lu_u(
-                                    Lx, Ux, w, nb, lo[0], cp, rbp)
-                    else:
-                        def br(carry, i, tabs=tabs):
-                            Lx, Ux = carry
-                            w, drs, brs_ = _take(tabs, i)
-                            with jax.default_matmul_precision(fac_prec):
-                                dDL, dBL, dDU, dBU = blocks.panel_deltas_lu(
-                                    Lx, Ux, w, drs, brs_)
-                            Lx = blocks._win_scatter_add(Lx, drs, dDL)
-                            Lx = blocks._win_scatter_add(Lx, brs_, dBL)
-                            Ux = blocks._win_scatter_add(Ux, drs, dDU)
-                            Ux = blocks._win_scatter_add(Ux, brs_, dBU)
-                            return Lx, Ux
-                brs.append(br)
-            return brs
+            return make_branches(kinds, tabs_by_class, lu, fac_prec,
+                                 upd_prec)
 
         layout = self._layout
 

@@ -260,9 +260,23 @@ def _row_position_lookup(sym: Symbolic):
 
 
 def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
-               lu: bool = False) -> FactorPlan:
+               lu: bool = False,
+               sn_filter: np.ndarray | None = None,
+               sn_group: np.ndarray | None = None) -> FactorPlan:
     """Compile the symbolic factorization + matrix pattern into the static
-    batched schedule (the TPU-era analyze_supernodal stages e-h)."""
+    batched schedule (the TPU-era analyze_supernodal stages e-h).
+
+    ``sn_filter`` (bool, nsuper): restrict the schedule to panel tasks of
+    the selected supernodes and update tasks SOURCED at them (targets may
+    lie anywhere above). Storage layout, assembly and slab shapes are
+    always computed from the full symbolic structure, so filtered plans
+    from disjoint filters share one storage layout — the basis of the
+    subtree-decomposed multi-chip engine (spfx.dist.subtree).
+
+    ``sn_group`` (int, nsuper): extra storage-sort key inside each
+    (level, stride) class, so each group's panels stay CONTIGUOUS in the
+    uniform layout (a filtered plan's panel buckets must be uniform
+    blocks). Pass the same grouping to every plan sharing the layout."""
     n = sym.n
     nsuper = sym.nsuper
     contig = config.layout == "contig"
@@ -291,7 +305,10 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         RBp = np.asarray([_pad2(int(b), clo) if b else 0 for b in R - W],
                          dtype=np.int64)
         rows_sn = Wp + RBp
-        sorder = np.lexsort((np.arange(nsuper), RBp, Wp, sym.sn_level))
+        grp = sn_group if sn_group is not None \
+            else np.zeros(nsuper, dtype=np.int64)
+        sorder = np.lexsort((np.arange(nsuper), grp, RBp, Wp,
+                             sym.sn_level))
         csum = np.zeros(nsuper + 1, dtype=np.int64)
         np.cumsum((rows_sn * Wp)[sorder], out=csum[1:])
         offsets[sorder] = csum[:-1]
@@ -322,6 +339,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     for lv in range(nlev):
         sns = order[np.searchsorted(lvl_sorted, lv):
                     np.searchsorted(lvl_sorted, lv, side="right")]
+        if sn_filter is not None:
+            sns = sns[sn_filter[sns]]
         w, r = W[sns], R[sns]
         if contig:
             # class = (storage stride, padded below rows) — the per-panel
@@ -427,8 +446,10 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                 lane_bytes = max(128, int(c)) * itemsize
                 srows_by_csp[int(c)] = pad_pow2(
                     max(slab_bytes // lane_bytes, big), 8)
+        keep_upd = sn_filter[t_d] if sn_filter is not None \
+            else np.ones(len(t_d), dtype=bool)
         for lv in range(nlev):
-            in_lv = np.flatnonzero(t_level == lv)
+            in_lv = np.flatnonzero((t_level == lv) & keep_upd)
             if not len(in_lv):
                 continue
             pads = t_pad[in_lv]
