@@ -873,6 +873,149 @@ def lu_panel_deltas_wide(widths, nbelow, DL, DU, BL, BU, cp: int, rbp: int):
     return ddl, ddu, dbl, dbu
 
 
+# --------------------------------------------------------------------------
+# Block potrf + explicit inverse, batch-in-lanes: the serial O(NB) work of a
+# panel factorization confined to (NB, NB) diagonal blocks; everything else
+# (column panels, trailing updates, below-panel triangular solves) becomes
+# batched MXU matmuls against the INVERTED diagonal block — the standard
+# GPU-BLAS trsm-via-inverted-diagonal-blocks scheme (what cuBLAS does inside
+# trsm, and the reference leans on via cuSOLVER/cuBLAS,
+# Cholesky/Source/SparseFrame.c:2795-2940). Round-4 profile: the previous
+# whole-panel one-hot recurrences made PC classes 3.6-4.8 ms/call — 67% of
+# factorize time for ~15% of its flops.
+# --------------------------------------------------------------------------
+
+NB = 32                    # diagonal block size of the blocked panel path
+
+
+def _inv_lower_lanes(L, cm):
+    """X = L^{-1} for lower-triangular L (nb, nb, slab) in lanes layout
+    (unit rows on padded columns). Row-serial forward substitution:
+    X[i, :] = (e_i - L[i, :i] @ X[:i, :]) / L[i, i]."""
+    nb = L.shape[0]
+    slab = L.shape[2]
+    ki = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)   # k (contract)
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)   # row selector
+    ji = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)   # col selector
+    X0 = jnp.eye(nb, dtype=L.dtype)[:, :, None] \
+        * jnp.ones((1, 1, slab), L.dtype)
+
+    def body(i, X):
+        Lrow = _row0(L, i)                                # (nb, slab) L[i, k]
+        piv = jnp.sum(jnp.where(ki[:, 0, :] == i, Lrow, 0.0), axis=0,
+                      keepdims=True)                      # (1, slab) L[i, i]
+        lt = jnp.where(ki[:, 0, :] < i, Lrow, 0.0)        # k < i
+        acc = jnp.sum(lt[:, None, :] * X, axis=0)         # (nb, slab)
+        ei = (jax.lax.broadcasted_iota(jnp.int32, (nb, slab), 0)
+              == i).astype(L.dtype)
+        xrow = (ei - acc) / piv
+        return jnp.where(r1 == i, xrow[None, :, :], X)
+
+    return jax.lax.fori_loop(0, nb, body, X0)
+
+
+def _potrf_inv_lanes_kernel(w_ref, d_ref, l_ref, inv_ref):
+    nb = d_ref.shape[0]
+    w2 = w_ref[...]                                       # (1, slab)
+    cm = _lanes_masks(nb, w2, d_ref.dtype)
+    D = d_ref[...] * cm[:, None, :] * cm[None, :, :]
+    D = D + jnp.eye(nb, dtype=D.dtype)[:, :, None] * (1.0 - cm)[None, :, :]
+    L = _potrf_lanes(D)
+    l_ref[...] = L * cm[:, None, :] * cm[None, :, :]      # zero padding rows
+    inv_ref[...] = _inv_lower_lanes(L, cm)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def potrf_inv_lanes(wrel, DT):
+    """Factor + invert (nb, nb, B) lanes-layout SPD diagonal blocks:
+    returns (LT, invT) with L lower (zeros on padded rows/cols) and
+    inv = L^{-1} (unit rows on padded columns, so multiplying by inv is a
+    no-op there)."""
+    nb, _, B = DT.shape
+    slab = vmem.lanes_slab(B)
+    _guard("potrf_inv_lanes",
+           vmem.lanes_panel_bytes(nb, 0, B, DT.dtype.itemsize) * 2)
+    w2 = wrel.reshape(1, B)
+    sblk = pl.BlockSpec((1, slab), lambda bi: (0, bi),
+                        memory_space=pltpu.VMEM)
+    dblk = pl.BlockSpec((nb, nb, slab), lambda bi: (0, 0, bi),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _potrf_inv_lanes_kernel,
+        grid=(B // slab,),
+        in_specs=[sblk, dblk],
+        out_specs=[dblk, dblk],
+        out_shape=[jax.ShapeDtypeStruct((nb, nb, B), DT.dtype),
+                   jax.ShapeDtypeStruct((nb, nb, B), DT.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(w2, DT)
+
+
+def _unit_inv_lower_lanes(L, nb):
+    """X = L^{-1} for UNIT lower-triangular L (nb, nb, slab) (diag == 1)."""
+    slab = L.shape[2]
+    ki = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+    r1 = ki
+    X0 = jnp.eye(nb, dtype=L.dtype)[:, :, None] \
+        * jnp.ones((1, 1, slab), L.dtype)
+
+    def body(i, X):
+        Lrow = _row0(L, i)
+        lt = jnp.where(ki[:, 0, :] < i, Lrow, 0.0)
+        acc = jnp.sum(lt[:, None, :] * X, axis=0)
+        ei = (jax.lax.broadcasted_iota(jnp.int32, (nb, slab), 0)
+              == i).astype(L.dtype)
+        xrow = ei - acc
+        return jnp.where(r1 == i, xrow[None, :, :], X)
+
+    return jax.lax.fori_loop(0, nb, body, X0)
+
+
+def _getrf_inv_lanes_kernel(w_ref, d_ref, l_ref, u_ref, linv_ref, uinv_ref):
+    nb = d_ref.shape[0]
+    w2 = w_ref[...]
+    cm = _lanes_masks(nb, w2, d_ref.dtype)
+    D = d_ref[...] * cm[:, None, :] * cm[None, :, :]
+    D = D + jnp.eye(nb, dtype=D.dtype)[:, :, None] * (1.0 - cm)[None, :, :]
+    L11, U11 = _getrf_lanes(D, cm)
+    mm = cm[:, None, :] * cm[None, :, :]
+    l_ref[...] = L11 * mm                    # unit diag masked off padding
+    u_ref[...] = U11 * mm
+    linv_ref[...] = _unit_inv_lower_lanes(L11, nb)
+    # U^{-1} = ((U^T)^{-1})^T: invert the lower-triangular transpose
+    Ut = jnp.swapaxes(U11, 0, 1)
+    uinv_ref[...] = jnp.swapaxes(_inv_lower_lanes(Ut, cm), 0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def getrf_inv_lanes(wrel, DT):
+    """No-pivot LU + explicit triangle inverses of (nb, nb, B) lanes-layout
+    square diagonal blocks (lower holds L-side values, upper the U-side):
+    returns (L, U, Linv, Uinv); padded columns behave as identity."""
+    nb, _, B = DT.shape
+    slab = vmem.lanes_slab(B)
+    _guard("getrf_inv_lanes",
+           vmem.lanes_panel_bytes(nb, 0, B, DT.dtype.itemsize, lu=True) * 2)
+    w2 = wrel.reshape(1, B)
+    sblk = pl.BlockSpec((1, slab), lambda bi: (0, bi),
+                        memory_space=pltpu.VMEM)
+    dblk = pl.BlockSpec((nb, nb, slab), lambda bi: (0, 0, bi),
+                        memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((nb, nb, B), DT.dtype)
+    return pl.pallas_call(
+        _getrf_inv_lanes_kernel,
+        grid=(B // slab,),
+        in_specs=[sblk, dblk],
+        out_specs=[dblk] * 4,
+        out_shape=[shp] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(w2, DT)
+
+
 def _chol_lanes_kernel(d_ref, l_ref):
     c = d_ref.shape[1]
     A = d_ref[...]                       # (slab, c, c)

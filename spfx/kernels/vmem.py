@@ -156,27 +156,30 @@ def no_pallas() -> bool:
 
 def route_panel(cp: int, rbp: int, B: int, itemsize: int = 4,
                 lu: bool = False) -> str:
-    """'lanes' | 'wide' | 'xla' for a (cp, rbp, B) panel class.
+    """'blocked' | 'lanes' | 'wide' | 'xla' for a (cp, rbp, B) panel class.
 
-    lanes wins for narrow panels (the batch rides the VPU lanes; one
-    O(cp) recurrence covers the whole batch); wide wins for cp >= 128
-    (MXU-blocked trailing updates, and the lanes footprint — which pads
-    the batch dim to 128 lanes — no longer fits); XLA expanders are the
-    fallback for what neither kernel can hold."""
+    Default is the blocked-MXU path (round-4 redesign): its only Pallas
+    kernel works on (NB, NB, slab) diagonal-block tiles whose footprint is
+    independent of cp/rbp/B, and the panel solves / trailing updates are
+    XLA einsums — always VMEM-safe, serial work minimal. The whole-panel
+    'lanes'/'wide' kernels remain selectable via SPFX_PANEL_KERNEL for
+    A/B measurement, still guarded by the footprint model."""
     if no_pallas():
         return "xla"
-    lanes_fit = cp <= LANES_CP_MAX and \
-        lanes_panel_bytes(cp, rbp, B, itemsize, lu) <= CAP_ROUTE
-    wide_fit = cp <= WIDE_CP_MAX and \
-        wide_panel_bytes(cp, rbp, B, itemsize, lu) <= CAP_ROUTE
-    prefer_lanes = cp <= 32 or (B >= 16 and cp <= 64)
-    if lanes_fit and (prefer_lanes or not wide_fit):
-        return "lanes"
-    if wide_fit:
-        return "wide"
-    if lanes_fit:
-        return "lanes"
-    return "xla"
+    forced = os.environ.get("SPFX_PANEL_KERNEL", "")
+    if forced == "blocked":
+        return "blocked"
+    if forced and forced != "auto":
+        lanes_fit = cp <= LANES_CP_MAX and \
+            lanes_panel_bytes(cp, rbp, B, itemsize, lu) <= CAP_ROUTE
+        wide_fit = cp <= WIDE_CP_MAX and \
+            wide_panel_bytes(cp, rbp, B, itemsize, lu) <= CAP_ROUTE
+        if forced == "lanes" and lanes_fit:
+            return "lanes"
+        if forced == "wide" and wide_fit:
+            return "wide"
+        return "xla"
+    return "blocked"
 
 
 def assert_fits(name: str, nbytes: int) -> None:

@@ -172,6 +172,11 @@ class UpdateBucketC:
     csp: int                   # static target width == target stride
     slab_rows: int             # static slab height (pow2)
     flops: float
+    # compacted extend-add pairs: only VALID update rows, so the Pallas
+    # row loop runs len(ea_idx) iterations instead of B*Mp (measured
+    # 15.6M padded vs 1.0M real rows at 48^3 — a 15x dead-spin)
+    ea_idx: np.ndarray = None  # (nv,) int32 flat row index into E
+    ea_row: np.ndarray = None  # (nv,) int32 slab row target, -1 pad
     _dev: tuple = None
 
     def dev(self):
@@ -179,7 +184,7 @@ class UpdateBucketC:
             import jax.numpy as jnp
             self._dev = tuple(jnp.asarray(a) for a in (
                 self.kw, self.mrows, self.src_start, self.slab_lo,
-                self.tgt_lrow, self.tgt_cpos))
+                self.ea_idx, self.ea_row, self.tgt_cpos))
         return self._dev
 
     @property
@@ -262,7 +267,8 @@ def _row_position_lookup(sym: Symbolic):
 def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                lu: bool = False,
                sn_filter: np.ndarray | None = None,
-               sn_group: np.ndarray | None = None) -> FactorPlan:
+               sn_group: np.ndarray | None = None,
+               idx_dtype=np.int32) -> FactorPlan:
     """Compile the symbolic factorization + matrix pattern into the static
     batched schedule (the TPU-era analyze_supernodal stages e-h).
 
@@ -276,7 +282,12 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     ``sn_group`` (int, nsuper): extra storage-sort key inside each
     (level, stride) class, so each group's panels stay CONTIGUOUS in the
     uniform layout (a filtered plan's panel buckets must be uniform
-    blocks). Pass the same grouping to every plan sharing the layout."""
+    blocks). Pass the same grouping to every plan sharing the layout.
+
+    ``idx_dtype``: dtype of the bucket index tables. int32 is the device
+    default (and enforces the 2^31-element storage ceiling); the stage
+    streaming engine (spfx.stream) builds int64 plans and rebases each
+    stage's tables to int32 itself."""
     n = sym.n
     nsuper = sym.nsuper
     contig = config.layout == "contig"
@@ -319,8 +330,10 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         RBp = None
         below_shift = np.zeros(nsuper, dtype=np.int64)
     xsize = int((rows_sn * Wp).sum())
-    if xsize + SLACK >= 2**31:
-        raise ValueError(f"factor too large for int32 indexing: {xsize}")
+    if xsize + SLACK >= 2**31 and idx_dtype == np.int32:
+        raise ValueError(
+            f"factor too large for int32 indexing: {xsize} "
+            "(use spfx.stream.StreamingCholesky for out-of-core plans)")
     first_col = sym.sn_start[:-1]
     rowpos = _row_position_lookup(sym)
     slack = SLACK
@@ -365,7 +378,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             for c0 in range(0, len(sel), qb):
                 mk = _make_panel_bucket_c if contig else _make_panel_bucket
                 pb = mk(sel[c0:c0 + qb], W, Wp, R, offsets,
-                        first_col, sym, cp, rbp, qb)
+                        first_col, sym, cp, rbp, qb,
+                        **({"idx_dtype": idx_dtype} if contig else {}))
                 levels[lv].panels.append(pb)
                 total_flops += pb.flops
                 if contig:
@@ -488,7 +502,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                     ub = _make_update_bucket_c(
                         sel[a:b], t_d, t_s, t_lpos, t_M, t_N, t_K,
                         Wp, R, offsets, first_col, sym, rowpos,
-                        mp, np_, kp, csp, qb, srows, W, below_shift)
+                        mp, np_, kp, csp, qb, srows, W, below_shift,
+                        idx_dtype)
                     levels[lv].updates.append(ub)
                     total_flops += ub.flops
                     # the padded slab [lo, lo+srows*csp) must stay inside
@@ -518,8 +533,10 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         # (ref LU loadA, LU/Source/SparseFrame.c:2478-2536).
         assembly_idx_u = entry_positions(sp.tril(Ap.T, -1).tocsc())
 
-    if xsize + slack >= 2**31:
-        raise ValueError(f"factor too large for int32 indexing: {xsize}")
+    if xsize + slack >= 2**31 and idx_dtype == np.int32:
+        raise ValueError(
+            f"factor too large for int32 indexing: {xsize} "
+            "(use spfx.stream.StreamingCholesky for out-of-core plans)")
     return FactorPlan(n=n, xsize=xsize, levels=levels,
                       assembly_idx=assembly_idx, offsets=offsets,
                       flops=(2.0 if lu else 1.0) * total_flops,
@@ -563,7 +580,7 @@ def _make_panel_bucket(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
 
 
 def _make_panel_bucket_c(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
-                         qb=None):
+                         qb=None, idx_dtype=np.int32):
     """Contig-layout panel bucket over a UNIFORM storage block: panels of
     ``sel`` are contiguous with task stride (cp+rbp)*cp (asserted)."""
     B = len(sel)
@@ -589,13 +606,14 @@ def _make_panel_bucket_c(sel, W, Wp, R, offsets, first_col, sym, cp, rbp,
                    + nb.astype(float) * w.astype(float)**2).sum())
     arrs = _pad_batch([w, nb, diag_start, below_start, xcols, xrows],
                       B, qb, [0, 0, -1, -1, -1, -1])
-    return PanelBucketC(sel, *(a.astype(np.int32) for a in arrs),
-                        np.asarray([off[0]], np.int32), cp, rbp, flops)
+    return PanelBucketC(sel, *(a.astype(idx_dtype) for a in arrs),
+                        np.asarray([off[0]], idx_dtype), cp, rbp, flops)
 
 
 def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
                           Wp, R, offsets, first_col, sym, rowpos,
-                          mp, np_, kp, csp, qb, srows, W, bshift):
+                          mp, np_, kp, csp, qb, srows, W, bshift,
+                          idx_dtype=np.int32):
     """Contig-layout update bucket: one (mp x kp) source window per task
     (requires kp == Wp[d], csp == Wp[s]); slab extend-add target (tasks are
     pre-sorted by target offset, all inside [slab_lo, slab_lo+srows*csp))."""
@@ -627,10 +645,21 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     flops = float(2.0 * (M.astype(float) * N * t_K[sel]).sum())
     arrs = _pad_batch([t_K[sel], M, src_start, tgt_lrow, tgt_cpos],
                       B, qb, [0, 0, -1, -1, -1])
-    kw_a, m_a, ss_a, lr_a, cp_a = (a.astype(np.int32) for a in arrs)
-    return UpdateBucketC(kw_a, m_a, ss_a,
-                         np.asarray([slab_lo], np.int32), lr_a, cp_a,
-                         mp, kp, csp, int(srows), flops)
+    kw_a, m_a, ss_a, lr_a, cp_a = (a.astype(idx_dtype) for a in arrs)
+    flat = lr_a.reshape(-1)
+    v = np.flatnonzero(flat >= 0)
+    nv = pad_pow2(max(len(v), 1), 8)
+    ea_idx = np.zeros(nv, np.int32)
+    ea_row = np.full(nv, -1, np.int32)
+    ea_idx[:len(v)] = v
+    ea_row[:len(v)] = flat[v]
+    sds = _pad_batch([d], B, qb, [-1])[0].astype(np.int64)
+    ub = UpdateBucketC(kw_a, m_a, ss_a,
+                       np.asarray([slab_lo], idx_dtype), lr_a, cp_a,
+                       mp, kp, csp, int(srows), flops,
+                       ea_idx=ea_idx, ea_row=ea_row)
+    ub.sds = sds
+    return ub
 
 
 def _make_update_bucket(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,

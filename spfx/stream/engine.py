@@ -1,0 +1,277 @@
+"""Stage-streamed factorization: factors larger than HBM (and larger than
+the 2^31-element int32 addressing ceiling of the in-core engines).
+
+The reference packs the elimination tree into device-slot-sized STAGES and
+streams factor panels host<->device around a residency cache
+(Cholesky/Source/SparseFrame.c:1721-1846 slot partitioning, :2437-2467
+GPUSerial residency). spfx's TPU redesign keeps the same two ideas and
+drops the dynamic cache:
+
+- the LEVEL-MAJOR uniform storage layout (spfx.plan.schedule) makes every
+  stage's OWN region one contiguous range [stage_lo, stage_hi);
+- a stage's update tasks read only FINISHED descendant panels, all known at
+  plan time, so the engine host-gathers exactly those panels into a packed
+  device buffer — a plan-time-perfect "cache" with zero misses and no
+  device-side index indirection.
+
+Per stage: upload [packed descendants | assembled own region], run the
+stage's levels as one mega scan (all tables REBASED to stage-local int32
+offsets — this is what lifts the global 2^31 ceiling: the global plan is
+built with int64 tables via build_plan(idx_dtype=np.int64)), download the
+finished own region into the host factor. The host array is the factor of
+record; solves run on the host backend (spfx/cpp f64 solve) which has no
+size ceiling beyond host RAM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from spfx.chol.factorize import CholeskyFactor
+from spfx.plan.schedule import (FactorPlan, LevelPlan, PanelBucketC,
+                                UpdateBucketC, build_plan, SLACK)
+from spfx.symbolic.analyze import analyze
+from spfx.utils.config import Config, DEFAULT
+
+
+@dataclasses.dataclass
+class _Stage:
+    levels: List[LevelPlan]        # rebased per-stage buckets
+    lo: int                        # own region start (global, int64)
+    hi: int                        # own region end (global)
+    src_sns: np.ndarray            # descendant supernodes packed as input
+    src_lo: np.ndarray             # (nsrc,) global start of each source
+    src_len: np.ndarray            # (nsrc,) elements of each source
+    packed: int                    # total packed source elements
+    storage: int                   # packed + own + slack (device buffer)
+
+
+def _stage_partition(plan: FactorPlan, offsets, rows_elems, cap: int):
+    """Greedy level partition: a stage's device working set (its own
+    contiguous region + its packed source panels) stays under ``cap``
+    elements. A single level never splits (its buckets may interleave)."""
+    stages = []
+    cur: List[int] = []
+    for li, lp in enumerate(plan.levels):
+        cand = cur + [li]
+        own, src = _stage_extent(plan, cand, offsets, rows_elems)
+        need = (own[1] - own[0]) + int(src.sum())
+        if cur and need > cap:
+            stages.append(cur)
+            cur = [li]
+        else:
+            cur = cand
+    if cur:
+        stages.append(cur)
+    return stages
+
+
+def _level_sns(lp):
+    out = []
+    for pb in lp.panels:
+        out.append(pb.sns)
+    return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+
+def _stage_extent(plan, level_ids, offsets, rows_elems):
+    sns = np.concatenate([_level_sns(plan.levels[li]) for li in level_ids])
+    if len(sns) == 0:
+        return (0, 0), np.zeros(0, np.int64)
+    lo = int(offsets[sns].min())
+    hi = int((offsets[sns] + rows_elems[sns]).max())
+    srcs = _stage_sources(plan, level_ids, sns)
+    return (lo, hi), rows_elems[srcs] if len(srcs) else np.zeros(0, np.int64)
+
+
+def _stage_sources(plan, level_ids, own_sns):
+    own = set(own_sns.tolist())
+    srcs = set()
+    for li in level_ids:
+        for ub in plan.levels[li].updates:
+            for d in np.unique(ub.sds):
+                if d >= 0 and d not in own:
+                    srcs.add(int(d))
+    return np.asarray(sorted(srcs), dtype=np.int64)
+
+
+class StreamingCholesky:
+    """Out-of-core supernodal Cholesky: host-resident factor, stage-wise
+    device execution. API mirrors spfx.chol.factorize.Cholesky; solves use
+    the host backend on the downloaded factor."""
+
+    def __init__(self, A: sp.spmatrix, config: Config = DEFAULT,
+                 stage_elems: int = 1 << 27, sym=None):
+        A = sp.csc_matrix(A)
+        if config.layout != "contig":
+            raise ValueError("streaming engine requires layout='contig'")
+        self.config = config
+        self.stage_elems = int(stage_elems)
+        t0 = time.perf_counter()
+        self.sym = sym if sym is not None else analyze(A, config)
+        self.analyze_time = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        self.plan = build_plan(self.sym, A, config, idx_dtype=np.int64)
+        offsets = self.plan.offsets
+        W = np.diff(self.sym.sn_start)
+        Wp = self.plan.strides
+        rows = np.diff(self.sym.sn_ptr)
+        # per-supernode element extent in the uniform layout
+        from spfx.utils.config import pad_pow2
+        RBp = np.asarray([pad_pow2(int(b), max(config.pad_min,
+                                               config.class_min))
+                          if b else 0 for b in rows - W])
+        self.rows_elems = (Wp + RBp) * Wp
+        self._build_stages()
+        self.plan_time = time.perf_counter() - t0
+
+    # ---------------- stage construction --------------------------------
+    def _build_stages(self):
+        plan, offsets = self.plan, self.plan.offsets
+        parts = _stage_partition(plan, offsets, self.rows_elems,
+                                 self.stage_elems)
+        self.stages: List[_Stage] = []
+        for level_ids in parts:
+            sns = np.concatenate(
+                [_level_sns(plan.levels[li]) for li in level_ids])
+            if len(sns) == 0:
+                continue
+            lo = int(offsets[sns].min())
+            hi = int((offsets[sns] + self.rows_elems[sns]).max())
+            srcs = _stage_sources(plan, level_ids, sns)
+            src_lo = offsets[srcs] if len(srcs) else np.zeros(0, np.int64)
+            src_len = self.rows_elems[srcs] if len(srcs) \
+                else np.zeros(0, np.int64)
+            packed = int(src_len.sum())
+            base = np.zeros(plan.offsets.shape[0], dtype=np.int64)
+            if len(srcs):
+                base[srcs] = np.concatenate(
+                    [[0], np.cumsum(src_len)[:-1]])
+            own_off = packed - lo            # own region lands after packed
+            levels = [self._rebase_level(plan.levels[li], sns, srcs, base,
+                                         own_off, offsets, 0)
+                      for li in level_ids]
+            # stage buffer: packed sources + own region + whatever padded
+            # bucket tails / extend-add slabs overrun past it (globally
+            # those land on later panels; here they need real slack)
+            storage = packed + (hi - lo) + SLACK
+            for lvl in levels:
+                for pb in lvl.panels:
+                    storage = max(storage, int(pb.slab_lo[0]) + SLACK
+                                  + len(pb.widths) * (pb.cp + pb.rbp)
+                                  * pb.cp)
+                for ub in lvl.updates:
+                    storage = max(storage, int(ub.slab_lo[0]) + SLACK
+                                  + ub.slab_rows * ub.csp)
+            self.stages.append(_Stage(levels, lo, hi, srcs, src_lo,
+                                      src_len, packed, storage))
+
+    def _rebase_level(self, lp, own_sns, srcs, src_base, own_off,
+                      offsets, storage):
+        panels, updates = [], []
+        for pb in lp.panels:
+            assert isinstance(pb, PanelBucketC)
+            r = lambda a: np.where(a >= 0, a + own_off, -1).astype(np.int32)
+            panels.append(dataclasses.replace(
+                pb, diag_start=r(pb.diag_start),
+                below_start=r(pb.below_start),
+                slab_lo=(pb.slab_lo + own_off).astype(np.int32),
+                _dev=None))
+        for ub in lp.updates:
+            assert isinstance(ub, UpdateBucketC)
+            # source windows: own-region descendants shift with the region;
+            # packed descendants map to their packed offset
+            d = ub.sds
+            valid = (d >= 0) & (ub.src_start >= 0)
+            rel = ub.src_start.astype(np.int64) - \
+                np.where(valid, offsets[np.maximum(d, 0)], 0)
+            in_own = np.isin(d, own_sns) & valid
+            in_src = np.isin(d, srcs) & valid
+            new_src = np.where(
+                in_own, ub.src_start.astype(np.int64) + own_off,
+                np.where(in_src, src_base[np.maximum(d, 0)] + rel, -1))
+            assert (valid <= (in_own | in_src)).all(), \
+                "update source panel missing from stage inputs"
+            nb = dataclasses.replace(
+                ub, src_start=new_src.astype(np.int32),
+                slab_lo=(ub.slab_lo + own_off).astype(np.int32),
+                _dev=None)
+            nb.sds = ub.sds
+            updates.append(nb)
+        return LevelPlan(panels, updates)
+
+    # ---------------- execution -----------------------------------------
+    def factorize(self, A: sp.spmatrix) -> CholeskyFactor:
+        A = sp.csc_matrix(A)
+        dtype = np.dtype(self.config.dtype)
+        plan = self.plan
+        host = np.zeros(plan.storage, dtype=dtype)
+        Ap = A[self.sym.perm][:, self.sym.perm]
+        low = sp.tril(Ap).tocsc()
+        host[plan.assembly_idx] = low.data.astype(dtype)
+        from spfx.kernels.mega import MegaRunner
+        for st in self.stages:
+            stage_plan = FactorPlan(
+                n=plan.n, xsize=st.storage - plan.slack, levels=st.levels,
+                assembly_idx=np.zeros(0, np.int64),
+                offsets=plan.offsets, flops=0.0, strides=plan.strides,
+                slack=plan.slack)
+            buf = np.zeros(st.storage, dtype=dtype)
+            for k in range(len(st.src_sns)):
+                b = int(np.concatenate([[0],
+                                        np.cumsum(st.src_len)])[k])
+                buf[b:b + st.src_len[k]] = \
+                    host[st.src_lo[k]:st.src_lo[k] + st.src_len[k]]
+            buf[st.packed:st.packed + (st.hi - st.lo)] = \
+                host[st.lo:st.hi]
+            runner = _StageRunner(stage_plan, self.config)
+            out = runner.run(jnp.asarray(buf))
+            res = np.asarray(out)
+            host[st.lo:st.hi] = res[st.packed:st.packed + (st.hi - st.lo)]
+        # the factor of record is HOST-resident (it may exceed HBM/int32);
+        # CholeskyFactor's host-solve path reads numpy directly, and its
+        # occasional device paths accept the numpy array as-is
+        f = CholeskyFactor(A, self.sym, self.plan, host, self.config)
+        f._Lh = host
+        return f
+
+
+class _StageRunner:
+    """One-dispatch scan over a rebased stage's levels (no assembly: the
+    stage buffer arrives pre-assembled from the host)."""
+
+    def __init__(self, stage_plan: FactorPlan, config: Config):
+        from spfx.kernels import mega
+        classes, cls_ids, chunk_ids = mega._collect(stage_plan)
+        self._steps = (jnp.asarray(cls_ids), jnp.asarray(chunk_ids))
+        self._flat, self._layout = mega._flatten_tables(classes)
+        kinds = [(c["kind"], c["static"]) for c in classes]
+        fac_prec = config.matmul_precision
+        upd_prec = config.update_precision or fac_prec
+        layout = self._layout
+
+        @jax.jit
+        def run(L, cls_ids, chunk_ids, *flat):
+            from jax import lax
+            tabs = mega._unflatten(layout, flat)
+            brs = mega.make_branches(kinds, tabs, False, fac_prec,
+                                     upd_prec)
+
+            def body(L, xs):
+                c, i = xs
+                return lax.switch(c, brs, L, i), None
+
+            if brs and len(cls_ids):
+                L, _ = lax.scan(body, L, (cls_ids, chunk_ids))
+            return L
+
+        self._run = run
+
+    def run(self, L):
+        return self._run(L, *self._steps, *self._flat)

@@ -90,3 +90,89 @@ def test_lu_panel_lanes_parity():
         U12t = sla.solve_triangular(L, BUh[i].T, lower=True,
                                     unit_diagonal=True).T
         np.testing.assert_allclose(dbu[i] + BUh[i], U12t, atol=1e-8)
+
+
+def _blocked_vs_xla(B, cp, rbp, seed):
+    """Blocked-MXU panel path vs the XLA expander path on the same bucket."""
+    from spfx.kernels import blocks
+    rng = np.random.default_rng(seed)
+    Dh = _spd_batch(B, cp, seed)
+    Bh = rng.standard_normal((B, rbp, cp)) if rbp else np.zeros((B, 0, cp))
+    w = rng.integers(1, cp + 1, B).astype(np.int32)
+    nb = rng.integers(0, rbp + 1, B).astype(np.int32) if rbp \
+        else np.zeros(B, np.int32)
+    # honor the uniform-layout storage contract: cols/rows >= w are zero,
+    # and the diag window's upper triangle is never written by assembly
+    # (only lower-triangle A entries are scattered), so it is exactly zero
+    cm = np.arange(cp)[None, :] < w[:, None]
+    Dh = np.tril(Dh) * cm[:, None, :] * cm[:, :, None]
+    Bh = Bh * cm[:, None, :]
+    args = (jnp.asarray(Dh), jnp.asarray(Bh), jnp.asarray(w),
+            jnp.asarray(nb))
+    dd1, db1 = blocks._chol_deltas_blocked(*args, cp=cp, rbp=rbp)
+    # reference: the masked XLA expander math at the tail of
+    # _chol_deltas_blocks (runs on CPU since _unrolled() is False there)
+    dd2, db2 = blocks._chol_deltas_blocks(*args, cp=cp, rbp=rbp)
+    np.testing.assert_allclose(np.asarray(dd1), np.asarray(dd2),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(db1), np.asarray(db2),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_chol_blocked_parity_small():
+    _blocked_vs_xla(8, 16, 32, 3)
+
+
+def test_chol_blocked_parity_multiblock():
+    _blocked_vs_xla(4, 64, 128, 4)
+
+
+def test_chol_blocked_parity_wide():
+    _blocked_vs_xla(2, 128, 64, 5)
+
+
+def test_chol_blocked_parity_diag_only():
+    _blocked_vs_xla(8, 32, 0, 6)
+
+
+def _lu_blocked_vs_xla(B, cp, rbp, seed):
+    from spfx.kernels import blocks
+    rng = np.random.default_rng(seed)
+    w = rng.integers(1, cp + 1, B).astype(np.int32)
+    nb = rng.integers(0, rbp + 1, B).astype(np.int32) if rbp \
+        else np.zeros(B, np.int32)
+    cm = np.arange(cp)[None, :] < w[:, None]
+    # diagonally dominant square blocks split into the Lx/Ux storage halves
+    Dh = rng.standard_normal((B, cp, cp))
+    Dh = Dh + (np.abs(Dh).sum(2)[:, :, None] + 1.0) * np.eye(cp)[None]
+    DL = np.tril(Dh) * cm[:, None, :] * cm[:, :, None]
+    DU = np.swapaxes(np.triu(Dh, 1), 1, 2) * cm[:, None, :] \
+        * cm[:, :, None]
+    if rbp:
+        BL = rng.standard_normal((B, rbp, cp)) * cm[:, None, :]
+        BU = rng.standard_normal((B, rbp, cp)) * cm[:, None, :]
+    else:
+        BL = BU = np.zeros((B, 0, cp))
+    args = tuple(jnp.asarray(a) for a in
+                 (DL, DU, BL, BU, w, nb))
+    outs1 = blocks._lu_deltas_blocked(*args, cp=cp, rbp=rbp)
+    outs2 = blocks._lu_deltas_blocks(*args, cp=cp, rbp=rbp)
+    for o1, o2 in zip(outs1, outs2):
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_lu_blocked_parity_small():
+    _lu_blocked_vs_xla(8, 16, 32, 7)
+
+
+def test_lu_blocked_parity_multiblock():
+    _lu_blocked_vs_xla(4, 64, 64, 8)
+
+
+def test_lu_blocked_parity_wide():
+    _lu_blocked_vs_xla(2, 128, 32, 9)
+
+
+def test_lu_blocked_parity_diag_only():
+    _lu_blocked_vs_xla(8, 32, 0, 10)

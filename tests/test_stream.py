@@ -1,0 +1,64 @@
+"""Stage-streamed out-of-core factorization (spfx/stream): tiny stage caps
+force multiple host<->device stages; the result must match the in-core
+engine exactly and pass the residual gate.
+
+The 2^31 int32 ceiling itself cannot be exercised in CI (it would need
+>8GB); what is tested is the mechanism that lifts it: int64 global plans,
+per-stage rebasing to local int32 tables, and host-resident factors.
+"""
+
+import numpy as np
+import pytest
+
+from spfx.io import generate
+from spfx.chol.factorize import Cholesky
+from spfx.stream import StreamingCholesky
+from spfx.utils.config import Config
+from spfx.validate import synth_rhs, scaled_residual
+
+CFG = Config(dtype="float64", ordering="nd", solve_backend="device")
+
+
+@pytest.mark.parametrize("stage_elems", [1 << 12, 1 << 14])
+def test_streaming_matches_incore(stage_elems):
+    A = generate.laplacian_3d(6)
+    st = StreamingCholesky(A, CFG, stage_elems=stage_elems)
+    assert len(st.stages) > 1, "cap too big: nothing streamed"
+    f = st.factorize(A)
+    ref = Cholesky(A, CFG).factorize(A)
+    np.testing.assert_allclose(np.asarray(f.L), np.asarray(ref.L),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_streaming_residual():
+    A = generate.laplacian_3d(7)
+    st = StreamingCholesky(A, CFG, stage_elems=1 << 14)
+    assert len(st.stages) > 2
+    f = st.factorize(A)
+    b = synth_rhs(A)
+    x = f.solve(b)
+    assert scaled_residual(A, x, b) < 1e-12
+
+
+def test_streaming_single_stage_degenerates():
+    A = generate.laplacian_2d(12)
+    st = StreamingCholesky(A, CFG, stage_elems=1 << 28)
+    assert len(st.stages) == 1
+    f = st.factorize(A)
+    b = synth_rhs(A)
+    x = f.solve(b)
+    assert scaled_residual(A, x, b) < 1e-12
+
+
+def test_int64_plan_tables():
+    from spfx.plan.schedule import build_plan
+    from spfx.symbolic.analyze import analyze
+    A = generate.laplacian_2d(10)
+    sym = analyze(A, CFG)
+    plan = build_plan(sym, A, CFG, idx_dtype=np.int64)
+    for lp in plan.levels:
+        for pb in lp.panels:
+            assert pb.diag_start.dtype == np.int64
+        for ub in lp.updates:
+            assert ub.src_start.dtype == np.int64
+            assert ub.sds is not None

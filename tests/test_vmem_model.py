@@ -26,20 +26,21 @@ def test_model_reproduces_round3_oom():
 
 
 def test_round3_classes_route_safely():
-    # the class that crashed round 3, plus the two the verdict flagged as
-    # lanes-routed-and-unverified
+    # default is the blocked-MXU path (footprint independent of shape);
+    # the class that crashed round 3 must never reach the lanes kernel
+    assert vmem.route_panel(128, 512, 16, F32) == "blocked"
+    assert vmem.route_panel(128, 256, 32, F32) == "blocked"
+    assert vmem.route_panel(16, 1024, 64, F32) == "blocked"
+
+
+def test_forced_kernels_stay_model_guarded(monkeypatch):
+    # SPFX_PANEL_KERNEL=lanes must still refuse classes whose modeled
+    # stack exceeds the cap (the round-3 OOM class falls back to xla)
+    monkeypatch.setenv("SPFX_PANEL_KERNEL", "lanes")
+    assert vmem.route_panel(128, 512, 16, F32) == "xla"
+    assert vmem.route_panel(16, 64, 512, F32) == "lanes"
+    monkeypatch.setenv("SPFX_PANEL_KERNEL", "wide")
     assert vmem.route_panel(128, 512, 16, F32) == "wide"
-    assert vmem.route_panel(128, 256, 32, F32) == "wide"
-    r = vmem.route_panel(16, 1024, 64, F32)
-    assert r == "lanes"
-    assert vmem.lanes_panel_bytes(16, 1024, 64, F32) <= vmem.CAP_ROUTE
-
-
-def test_narrow_panels_stay_on_lanes():
-    # the bread-and-butter classes must keep the fast path
-    for cp, rbp, B in [(8, 8, 256), (16, 64, 512), (32, 128, 128),
-                       (64, 512, 128), (64, 256, 2048)]:
-        assert vmem.route_panel(cp, rbp, B, F32) == "lanes", (cp, rbp, B)
 
 
 def _plan_classes(grid: int):
@@ -100,11 +101,11 @@ def test_bench_plan_classes_fit(grid):
         "update chunks — slab sizing regressed (see schedule srows_by_csp)"
 
 
-def test_48cube_has_wide_classes():
-    # the near-root cp=128 classes exist at the bench size and must route
-    # to the wide kernel (this is the round-3 crash site)
+def test_48cube_wide_classes_avoid_lanes():
+    # the near-root cp>=128 classes exist at the bench size and must not
+    # route to the lanes kernel (the round-3 crash site)
     panels, _ = _plan_classes(48)
     wide = [(cp, rbp, B) for (cp, rbp, B) in panels if cp >= 128]
     assert wide, "expected cp>=128 panel classes at 48^3"
     for cp, rbp, B in wide:
-        assert vmem.route_panel(cp, rbp, B, F32) == "wide", (cp, rbp, B)
+        assert vmem.route_panel(cp, rbp, B, F32) != "lanes", (cp, rbp, B)

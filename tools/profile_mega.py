@@ -144,10 +144,10 @@ def _time_class(r, c, mych, L0, k):
                 mp, kp, csp, srows = static
 
                 def br(L, i):
-                    kw, mr, ss, lo, lrow, cpos = M._take(tabs, i)
+                    kw, mr, ss, lo, eai, ear, cpos = M._take(tabs, i)
                     E = blocks.update_rows_sym_c(L, kw, mr, ss, cpos,
                                                  mp, kp, csp)
-                    return blocks.extend_add_slab(L, lo[0], lrow, E,
+                    return blocks.extend_add_slab(L, lo[0], eai, ear, E,
                                                   srows, csp)
             elif kind == "PC":
                 cp, rbp = static
