@@ -172,16 +172,11 @@ def main():
 
     metric = f"sparse_{kind}_factorize_gflops_3dpoisson{grid}"
 
-    # roofline first (cheap): vs_baseline is defined from the very first emit
-    try:
-        roofline = measure_roofline(jnp.float32, config.matmul_precision)
-        log(f"measured f32({config.matmul_precision}) matmul roofline: "
-            f"{roofline:.0f} GFLOP/s  [t={time.perf_counter() - T0:.0f}s]")
-    except Exception as e:                          # chip hiccup: don't die
-        roofline = 31000.0                          # last measured (r3) value
-        log(f"roofline measurement FAILED ({e!r}); "
-            f"using prior measured {roofline:.0f} GFLOP/s")
-
+    # vs_baseline starts from the last recorded roofline; the measurement
+    # itself runs AFTER the first factorize sample (a hung roofline compile
+    # killed the whole 2026-08-21 run before any number landed — the main
+    # metric must never wait on a secondary one)
+    roofline = 30079.0                              # last measured (r4)
     extra = {}
 
     def record(per_fact: float, note: str):
@@ -221,6 +216,16 @@ def main():
     sync_sum(out[0] if kind == "lu" else out)
     record(time.perf_counter() - t0, "single-shot incl dispatch+fetch")
     emit()
+
+    # now the roofline (defines vs_baseline precisely; its failure or hang
+    # can no longer cost the run its primary number)
+    try:
+        roofline = measure_roofline(jnp.float32, config.matmul_precision)
+        log(f"measured f32({config.matmul_precision}) matmul roofline: "
+            f"{roofline:.0f} GFLOP/s  [t={time.perf_counter() - T0:.0f}s]")
+    except Exception as e:                          # chip hiccup: don't die
+        log(f"roofline measurement FAILED ({e!r}); "
+            f"using prior measured {roofline:.0f} GFLOP/s")
 
     def slope_once():
         t = {}
