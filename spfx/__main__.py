@@ -10,8 +10,9 @@ at :3427-3434 / :3261-3263.
 
 The reference streams matrices through a 2-wide OMP pipeline
 (MATRIX_THREAD_NUM=2, parameter.h:10) to overlap host analysis of one matrix
-with GPU factorization of another; here XLA's async dispatch already
-overlaps host planning with device compute, so matrices run sequentially.
+with GPU factorization of another; the same 2-wide overlap runs here via a
+prefetch thread: while matrix k factorizes on device, matrix k+1 is read,
+analyzed and planned on the host (all pure host work — safe off-thread).
 """
 
 from __future__ import annotations
@@ -31,15 +32,15 @@ def _is_symmetric(A: sp.spmatrix) -> bool:
     return bool(np.abs(d.data).max() <= 1e-14 * np.abs(A.data).max())
 
 
-def run_one(path: str, args) -> int:
+def prepare(path: str, args):
+    """Host-only half of the pipeline: read + analyze + plan. Runs on the
+    prefetch thread while the previous matrix factorizes on device."""
     import spfx
     from spfx.io.matrix_market import read_matrix
-    from spfx.validate import scaled_residual, synth_rhs
 
     t0 = time.perf_counter()
     A = read_matrix(path)
     read_t = time.perf_counter() - t0
-    n, nnz = A.shape[0], A.nnz
     engine = args.engine
     if engine == "auto":
         engine = "chol" if _is_symmetric(A) and not args.static_pivot \
@@ -48,16 +49,23 @@ def run_one(path: str, args) -> int:
                       refine_iters=args.refine,
                       static_pivot=args.static_pivot,
                       profile=args.profile)
-    print(f"{path}: n={n} nnz={nnz} engine={engine} dtype={args.dtype}")
-
     t0 = time.perf_counter()
-    try:
-        ctx = spfx.Cholesky(A, cfg) if engine == "chol" \
-            else spfx.LU(A, cfg)
-    except Exception as e:
-        print(f"  analyze FAILED: {e}", file=sys.stderr)
-        return 1
+    ctx = spfx.Cholesky(A, cfg) if engine == "chol" else spfx.LU(A, cfg)
     analyze_t = time.perf_counter() - t0
+    return A, ctx, engine, read_t, analyze_t
+
+
+def run_one(path: str, args, prep=None) -> int:
+    from spfx.validate import scaled_residual, synth_rhs
+
+    try:
+        A, ctx, engine, read_t, analyze_t = \
+            prep if prep is not None else prepare(path, args)
+    except Exception as e:
+        print(f"{path}: read/analyze FAILED: {e}", file=sys.stderr)
+        return 1
+    n, nnz = A.shape[0], A.nnz
+    print(f"{path}: n={n} nnz={nnz} engine={engine} dtype={args.dtype}")
     sym = ctx.sym
     print(f"  nsuper={sym.nsuper} levels={int(sym.sn_level.max()) + 1} "
           f"nnzL={sym.nnzL} flops={ctx.plan.flops:.3e}")
@@ -117,8 +125,22 @@ def main(argv=None) -> int:
                     help="save each factor as DIR/<name>.factor.npz")
     args = ap.parse_args(argv)
     rc = 0
-    for path in args.paths:
-        rc = max(rc, run_one(path, args))
+    # 2-wide pipeline (ref MATRIX_THREAD_NUM=2): prefetch the next
+    # matrix's host work while the current one runs on device
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(prepare, args.paths[0], args)
+        for i, path in enumerate(args.paths):
+            try:
+                prep = fut.result()
+            except Exception as e:
+                print(f"{path}: read/analyze FAILED: {e}", file=sys.stderr)
+                rc = max(rc, 1)
+                prep = None
+            if i + 1 < len(args.paths):
+                fut = pool.submit(prepare, args.paths[i + 1], args)
+            if prep is not None:
+                rc = max(rc, run_one(path, args, prep))
     return rc
 
 

@@ -434,28 +434,59 @@ def update_rows_sym_c(L, kw, mrows, src_start, tgt_cpos,
                       preferred_element_type=L.dtype)
 
 
-def extend_add_slab(L, slab_lo, ea_idx, ea_row, E, srows: int, csp: int):
-    """Subtract the COMPACTED valid update rows of E (B, mp, csp) into the
-    slab L[slab_lo : slab_lo + srows*csp] viewed as (srows, csp):
-    ea_idx (nv,) selects flat E rows, ea_row (nv,) gives each one's
-    sublane index (-1 pads drop). The compaction makes the Pallas row
-    loop run nv iterations, not B*mp (15.6M padded vs 1.0M real rows at
-    48^3). See pallas_blocks.extend_add_rows for why this replaces
-    scatter_add."""
-    from spfx.kernels import pallas_blocks
+def extend_add_slab(L, slab_lo, ea_idx, ea_rbase, ea_rel, E,
+                    srows: int, csp: int):
+    """Subtract the valid update rows of E (B, mp, csp) into the slab
+    L[slab_lo : slab_lo + srows*csp] viewed as (srows, csp) — WINDOWED
+    ONE-HOT form: per plan-time group (sorted by target row), one
+    (W, EA_G) one-hot times the group's gathered E rows lands the whole
+    group as an MXU matmul subtracted into a contiguous W-row window.
+    No scatter and no serial row loop (the round-3 Pallas loop measured
+    ~1.9us/row on hardware — with ~1M real rows at 48^3 it dominated the
+    factorize; this path is ~50ms of MXU + window traffic instead).
+
+    The one-hot product is EXACT for any matmul precision whose operand
+    splitting is an exact decomposition (bf16x3/x6): multiplying by 1.0
+    reconstructs the f32 value bit-for-bit, so the extend-add stays an
+    exact accumulation like the scatter it replaces. Complex dtypes fall
+    back to XLA scatter."""
+    from spfx.plan.schedule import EA_G, ea_window
+    W = ea_window(srows)
     slab = lax.dynamic_slice(L, (slab_lo,), (srows * csp,)) \
         .reshape(srows, csp)
-    Ec = E.reshape(-1, csp)[ea_idx]
-    slab = pallas_blocks.extend_add_rows(slab, ea_row, Ec)
+    Eflat = E.reshape(-1, csp)
+    if jnp.iscomplexobj(E):
+        rows = jnp.where(ea_rel >= 0, ea_rbase[:, None] + ea_rel,
+                         srows).reshape(-1)       # srows is OOB -> dropped
+        Ec = Eflat[ea_idx]
+        slab = slab.at[rows].add(-Ec, mode="drop")
+        return lax.dynamic_update_slice(L, slab.reshape(-1), (slab_lo,))
+    ng = ea_rbase.shape[0]
+    Ec = Eflat[ea_idx].reshape(ng, EA_G, csp)
+    iw = jnp.arange(W, dtype=ea_rel.dtype)
+
+    def body(slab, grp):
+        rbase, rel, ec = grp
+        rb = rbase.astype(jnp.int32)
+        oh = (iw[:, None] == rel[None, :]).astype(ec.dtype)
+        delta = jnp.einsum("wg,gc->wc", oh, ec,
+                           precision=lax.Precision.HIGHEST)
+        win = lax.dynamic_slice(slab, (rb, jnp.int32(0)), (W, csp))
+        return lax.dynamic_update_slice(slab, win - delta,
+                                        (rb, jnp.int32(0))), None
+
+    slab, _ = lax.scan(body, slab, (ea_rbase, ea_rel, Ec))
     return lax.dynamic_update_slice(L, slab.reshape(-1), (slab_lo,))
 
 
 @partial(jax.jit, donate_argnums=0,
          static_argnames=("mp", "kp", "csp", "srows"))
-def apply_updates_sym_c(L, kw, mrows, src_start, slab_lo, ea_idx, ea_row,
-                        tgt_cpos, mp: int, kp: int, csp: int, srows: int):
+def apply_updates_sym_c(L, kw, mrows, src_start, slab_lo, ea_idx, ea_rbase,
+                        ea_rel, tgt_cpos, mp: int, kp: int, csp: int,
+                        srows: int):
     E = update_rows_sym_c(L, kw, mrows, src_start, tgt_cpos, mp, kp, csp)
-    return extend_add_slab(L, slab_lo[0], ea_idx, ea_row, E, srows, csp)
+    return extend_add_slab(L, slab_lo[0], ea_idx, ea_rbase, ea_rel, E,
+                           srows, csp)
 
 
 def _lu_deltas_blocked(DLraw, DUraw, BLraw, BUraw, widths, nbelow,
@@ -656,12 +687,14 @@ def update_rows_lu_c(Lx, Ux, kw, mrows, src_start, tgt_cpos,
 @partial(jax.jit, donate_argnums=(0, 1),
          static_argnames=("mp", "kp", "csp", "srows"))
 def apply_updates_lu_c(Lx, Ux, kw, mrows, src_start, slab_lo, ea_idx,
-                       ea_row, tgt_cpos, mp: int, kp: int, csp: int,
-                       srows: int):
+                       ea_rbase, ea_rel, tgt_cpos, mp: int, kp: int,
+                       csp: int, srows: int):
     EL, EU = update_rows_lu_c(Lx, Ux, kw, mrows, src_start, tgt_cpos,
                               mp, kp, csp)
-    Lx = extend_add_slab(Lx, slab_lo[0], ea_idx, ea_row, EL, srows, csp)
-    Ux = extend_add_slab(Ux, slab_lo[0], ea_idx, ea_row, EU, srows, csp)
+    Lx = extend_add_slab(Lx, slab_lo[0], ea_idx, ea_rbase, ea_rel, EL,
+                         srows, csp)
+    Ux = extend_add_slab(Ux, slab_lo[0], ea_idx, ea_rbase, ea_rel, EU,
+                         srows, csp)
     return Lx, Ux
 
 

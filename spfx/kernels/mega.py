@@ -91,8 +91,8 @@ def _collect(plan, solve_only: bool = False):
                     add("UC", ("UC", ub.mp, ub.kp, ub.csp, ub.slab_rows),
                         (ub.mp, ub.kp, ub.csp, ub.slab_rows),
                         [ub.kw, ub.mrows, ub.src_start, ub.slab_lo,
-                         ub.ea_idx, ub.ea_row, ub.tgt_cpos],
-                        [0, 0, -1, 0, 0, -1, -1])
+                         ub.ea_idx, ub.ea_rbase, ub.ea_rel, ub.tgt_cpos],
+                        [0, 0, -1, 0, 0, 0, -1, -1])
                 else:
                     mp = ub.src_row_start.shape[1]
                     add("U", ("U", mp, ub.kp, ub.csp),
@@ -186,11 +186,11 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
 
                 def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
-                    kw, mr, ss, lo, eai, ear, cpos = _take(tabs, i)
+                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         E = B.update_rows_sym_c(
                             L, kw, mr, ss, cpos, mp, kp, csp)
-                    return B.extend_add_slab(L, lo[0], eai, ear, E,
+                    return B.extend_add_slab(L, lo[0], eai, erb, erl, E,
                                              srows, csp)
             elif kind == "PC":
                 cp, rbp = static
@@ -226,13 +226,13 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
                 def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
                     Lx, Ux = carry
-                    kw, mr, ss, lo, eai, ear, cpos = _take(tabs, i)
+                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         EL, EU = B.update_rows_lu_c(
                             Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
-                    Lx = B.extend_add_slab(Lx, lo[0], eai, ear, EL,
+                    Lx = B.extend_add_slab(Lx, lo[0], eai, erb, erl, EL,
                                            srows, csp)
-                    Ux = B.extend_add_slab(Ux, lo[0], eai, ear, EU,
+                    Ux = B.extend_add_slab(Ux, lo[0], eai, erb, erl, EU,
                                            srows, csp)
                     return Lx, Ux
             elif kind == "PC":

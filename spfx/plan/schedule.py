@@ -45,6 +45,17 @@ from spfx.utils.config import Config, DEFAULT, pad_pow2
 # pad_pow2(max_sn_cols) <= 4096 for any sane config.
 SLACK = 4096
 
+# windowed one-hot extend-add group shape (see UpdateBucketC): G pairs per
+# group, targets within a W-row slab window. One (W, G) @ (G, csp) MXU
+# matmul + one contiguous W-row subtract per group.
+EA_G = 512
+EA_W = 512
+
+
+def ea_window(srows: int) -> int:
+    """Extend-add window height for a slab of ``srows`` rows (static)."""
+    return min(EA_W, int(srows))
+
 
 def _pad2(x: int, lo: int) -> int:
     return pad_pow2(int(x), lo) if x > 0 else 0
@@ -172,11 +183,16 @@ class UpdateBucketC:
     csp: int                   # static target width == target stride
     slab_rows: int             # static slab height (pow2)
     flops: float
-    # compacted extend-add pairs: only VALID update rows, so the Pallas
-    # row loop runs len(ea_idx) iterations instead of B*Mp (measured
-    # 15.6M padded vs 1.0M real rows at 48^3 — a 15x dead-spin)
-    ea_idx: np.ndarray = None  # (nv,) int32 flat row index into E
-    ea_row: np.ndarray = None  # (nv,) int32 slab row target, -1 pad
+    # WINDOWED ONE-HOT extend-add plan (round 4): the valid update rows,
+    # sorted by target slab row, cut into groups of <= EA_G pairs whose
+    # targets span < EA_W slab rows. Each group lands as ONE MXU matmul
+    # (W x G one-hot) @ (G x csp E rows) subtracted into a contiguous
+    # W-row slab window — no scatter, no serial row loop (the round-3
+    # Pallas row loop measured ~1.9us/row on hardware; ~1M real rows at
+    # 48^3 made it the dominant factorize cost).
+    ea_idx: np.ndarray = None   # (ngroups*EA_G,) int32 flat E row, 0 pad
+    ea_rbase: np.ndarray = None  # (ngroups,) int32 window base slab row
+    ea_rel: np.ndarray = None   # (ngroups, EA_G) int32 row - rbase, -1 pad
     _dev: tuple = None
 
     def dev(self):
@@ -184,7 +200,7 @@ class UpdateBucketC:
             import jax.numpy as jnp
             self._dev = tuple(jnp.asarray(a) for a in (
                 self.kw, self.mrows, self.src_start, self.slab_lo,
-                self.ea_idx, self.ea_row, self.tgt_cpos))
+                self.ea_idx, self.ea_rbase, self.ea_rel, self.tgt_cpos))
         return self._dev
 
     @property
@@ -646,18 +662,38 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     arrs = _pad_batch([t_K[sel], M, src_start, tgt_lrow, tgt_cpos],
                       B, qb, [0, 0, -1, -1, -1])
     kw_a, m_a, ss_a, lr_a, cp_a = (a.astype(idx_dtype) for a in arrs)
+    # windowed one-hot extend-add groups: valid (E row, slab row) pairs
+    # sorted by slab row, greedily cut at EA_G pairs / W-row span
     flat = lr_a.reshape(-1)
     v = np.flatnonzero(flat >= 0)
-    nv = pad_pow2(max(len(v), 1), 8)
-    ea_idx = np.zeros(nv, np.int32)
-    ea_row = np.full(nv, -1, np.int32)
-    ea_idx[:len(v)] = v
-    ea_row[:len(v)] = flat[v]
+    order = np.argsort(flat[v], kind="stable")
+    sv = v[order].astype(np.int64)
+    rs = flat[v][order].astype(np.int64)
+    Wn = ea_window(srows)
+    cuts = [0]
+    i = 0
+    while i < len(rs):
+        rbase = rs[i]
+        j = min(i + EA_G, len(rs))
+        # targets are sorted: find the span limit within this block
+        j = i + int(np.searchsorted(rs[i:j], rbase + Wn))
+        i = max(j, i + 1)
+        cuts.append(i)
+    ng = max(len(cuts) - 1, 1)
+    ea_idx = np.zeros(ng * EA_G, np.int32)
+    ea_rel = np.full((ng, EA_G), -1, np.int32)
+    ea_rbase = np.zeros(ng, np.int32)
+    for g in range(len(cuts) - 1):
+        a, b2 = cuts[g], cuts[g + 1]
+        rb = min(int(rs[a]), max(0, int(srows) - Wn))
+        ea_rbase[g] = rb
+        ea_idx[g * EA_G: g * EA_G + (b2 - a)] = sv[a:b2]
+        ea_rel[g, : b2 - a] = rs[a:b2] - rb
     sds = _pad_batch([d], B, qb, [-1])[0].astype(np.int64)
     ub = UpdateBucketC(kw_a, m_a, ss_a,
                        np.asarray([slab_lo], idx_dtype), lr_a, cp_a,
                        mp, kp, csp, int(srows), flops,
-                       ea_idx=ea_idx, ea_row=ea_row)
+                       ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel)
     ub.sds = sds
     return ub
 

@@ -144,11 +144,11 @@ def _time_class(r, c, mych, L0, k):
                 mp, kp, csp, srows = static
 
                 def br(L, i):
-                    kw, mr, ss, lo, eai, ear, cpos = M._take(tabs, i)
+                    kw, mr, ss, lo, eai, erb, erl, cpos = M._take(tabs, i)
                     E = blocks.update_rows_sym_c(L, kw, mr, ss, cpos,
                                                  mp, kp, csp)
-                    return blocks.extend_add_slab(L, lo[0], eai, ear, E,
-                                                  srows, csp)
+                    return blocks.extend_add_slab(L, lo[0], eai, erb, erl,
+                                                  E, srows, csp)
             elif kind == "PC":
                 cp, rbp = static
 
