@@ -463,6 +463,13 @@ def extend_add_slab(L, slab_lo, ea_idx, ea_rbase, ea_rel, E,
         return lax.dynamic_update_slice(L, slab.reshape(-1), (slab_lo,))
     ng = ea_rbase.shape[0]
     Ec = Eflat[ea_idx].reshape(ng, EA_G, csp)
+    slab = _ea_groups(slab, ea_rbase, ea_rel, Ec, W)
+    return lax.dynamic_update_slice(L, slab.reshape(-1), (slab_lo,))
+
+
+def _ea_groups(slab, ea_rbase, ea_rel, Ec, W: int):
+    """Apply the windowed one-hot extend-add groups to a (srows, csp)
+    slab view (see extend_add_slab)."""
     iw = jnp.arange(W, dtype=ea_rel.dtype)
 
     def body(slab, grp):
@@ -471,12 +478,90 @@ def extend_add_slab(L, slab_lo, ea_idx, ea_rbase, ea_rel, E,
         oh = (iw[:, None] == rel[None, :]).astype(ec.dtype)
         delta = jnp.einsum("wg,gc->wc", oh, ec,
                            precision=lax.Precision.HIGHEST)
-        win = lax.dynamic_slice(slab, (rb, jnp.int32(0)), (W, csp))
+        win = lax.dynamic_slice(slab, (rb, jnp.int32(0)),
+                                (W, slab.shape[1]))
         return lax.dynamic_update_slice(slab, win - delta,
                                         (rb, jnp.int32(0))), None
 
     slab, _ = lax.scan(body, slab, (ea_rbase, ea_rel, Ec))
-    return lax.dynamic_update_slice(L, slab.reshape(-1), (slab_lo,))
+    return slab
+
+
+def extend_add_region(L, slab_lo, ea_idx, ea_rbase, ea_rel, E,
+                      srows: int, csp: int, smax: int):
+    """Region-return form of extend_add_slab: computes the updated
+    [slab_lo, slab_lo + smax) region of L WITHOUT writing it (the mega
+    engine's scan body writes it outside the lax.switch — a read+write
+    branch inside switch forces a full-carry copy per step, measured
+    679us vs 94us at 268MB storage). The region tail beyond the slab is
+    returned unchanged."""
+    from spfx.plan.schedule import EA_G, ea_window
+    W = ea_window(srows)
+    region = lax.dynamic_slice(L, (slab_lo,), (smax,))
+    slab = region[:srows * csp].reshape(srows, csp)
+    Eflat = E.reshape(-1, csp)
+    ng = ea_rbase.shape[0]
+    Ec = Eflat[ea_idx].reshape(ng, EA_G, csp)
+    slab = _ea_groups(slab, ea_rbase, ea_rel, Ec, W)
+    region = lax.dynamic_update_slice(region, slab.reshape(-1),
+                                      (jnp.int32(0),))
+    return region, slab_lo
+
+
+def factor_panels_chol_region(L, widths, nbelow, slab_lo,
+                              cp: int, rbp: int, smax: int):
+    """Region-return form of factor_panels_chol_u (see extend_add_region
+    for why): returns the updated bucket region and its base offset."""
+    B = widths.shape[0]
+    S = (cp + rbp) * cp
+    region = lax.dynamic_slice(L, (slab_lo,), (smax,))
+    blk = region[:B * S].reshape(B, cp + rbp, cp)
+    dd, db = _chol_deltas_blocks(blk[:, :cp, :], blk[:, cp:, :],
+                                 widths, nbelow, cp, rbp)
+    upd = jnp.concatenate([dd, db], axis=1) if rbp else dd
+    region = lax.dynamic_update_slice(region, (blk + upd).reshape(-1),
+                                      (jnp.int32(0),))
+    return region, slab_lo
+
+
+def factor_panels_lu_region(Lx, Ux, widths, nbelow, slab_lo,
+                            cp: int, rbp: int, smax: int):
+    """Region-return LU panel factorization (twin regions, one offset)."""
+    B = widths.shape[0]
+    S = (cp + rbp) * cp
+    regl = lax.dynamic_slice(Lx, (slab_lo,), (smax,))
+    regu = lax.dynamic_slice(Ux, (slab_lo,), (smax,))
+    bl = regl[:B * S].reshape(B, cp + rbp, cp)
+    bu = regu[:B * S].reshape(B, cp + rbp, cp)
+    dDL, dBL, dDU, dBU = _lu_deltas_blocks(
+        bl[:, :cp, :], bu[:, :cp, :], bl[:, cp:, :], bu[:, cp:, :],
+        widths, nbelow, cp, rbp)
+    ul = jnp.concatenate([dDL, dBL], axis=1) if rbp else dDL
+    uu = jnp.concatenate([dDU, dBU], axis=1) if rbp else dDU
+    regl = lax.dynamic_update_slice(regl, (bl + ul).reshape(-1),
+                                    (jnp.int32(0),))
+    regu = lax.dynamic_update_slice(regu, (bu + uu).reshape(-1),
+                                    (jnp.int32(0),))
+    return regl, regu, slab_lo
+
+
+def extend_add_region_lu(Lx, Ux, slab_lo, ea_idx, ea_rbase, ea_rel,
+                         EL, EU, srows: int, csp: int, smax: int):
+    """Region-return LU extend-add (twin regions, one offset)."""
+    from spfx.plan.schedule import EA_G, ea_window
+    W = ea_window(srows)
+    ng = ea_rbase.shape[0]
+    regl = lax.dynamic_slice(Lx, (slab_lo,), (smax,))
+    regu = lax.dynamic_slice(Ux, (slab_lo,), (smax,))
+    sl = regl[:srows * csp].reshape(srows, csp)
+    su = regu[:srows * csp].reshape(srows, csp)
+    EcL = EL.reshape(-1, csp)[ea_idx].reshape(ng, EA_G, csp)
+    EcU = EU.reshape(-1, csp)[ea_idx].reshape(ng, EA_G, csp)
+    sl = _ea_groups(sl, ea_rbase, ea_rel, EcL, W)
+    su = _ea_groups(su, ea_rbase, ea_rel, EcU, W)
+    regl = lax.dynamic_update_slice(regl, sl.reshape(-1), (jnp.int32(0),))
+    regu = lax.dynamic_update_slice(regu, su.reshape(-1), (jnp.int32(0),))
+    return regl, regu, slab_lo
 
 
 @partial(jax.jit, donate_argnums=0,

@@ -165,6 +165,111 @@ def _unflatten(layout, flat):
     return out
 
 
+def region_smax(kinds_statics, tables) -> int:
+    """Largest single-step writable region over the classes: UC slabs and
+    PC bucket blocks (region-return engine; see make_region_branches)."""
+    smax = 8
+    for (kind, static), tabs in zip(kinds_statics, tables):
+        if kind == "UC":
+            mp, kp, csp, srows = static
+            smax = max(smax, srows * csp)
+        elif kind == "PC":
+            cp, rbp = static
+            B = tabs[0].shape[1]
+            smax = max(smax, B * (cp + rbp) * cp)
+        else:
+            return 0             # rowwin classes: no region contract
+    return smax
+
+
+def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
+                         upd_prec, smax: int):
+    """REGION-RETURN branches: each maps (carry, chunk_index) to
+    (region(s) of exactly ``smax`` elements, base offset); the scan body
+    writes the region into the carry OUTSIDE the lax.switch. Rationale
+    (measured, v5e, 268MB carry / 8MB regions): a branch that reads and
+    writes large carry slices inside lax.switch costs 679us/step — XLA
+    copies the full carry through the conditional — while the
+    region-return form costs 94us/step. Requires a contig plan (PC/UC
+    classes only)."""
+    from spfx.kernels import blocks as B
+    brs = []
+    for (kind, static), tabs in zip(kinds, tabs_by_class):
+        if not lu:
+            if kind == "UC":
+                mp, kp, csp, srows = static
+
+                def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                       srows=srows):
+                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        E = B.update_rows_sym_c(
+                            L, kw, mr, ss, cpos, mp, kp, csp)
+                    return B.extend_add_region(L, lo[0], eai, erb, erl, E,
+                                               srows, csp, smax)
+            elif kind == "PC":
+                cp, rbp = static
+
+                def br(L, i, tabs=tabs, cp=cp, rbp=rbp):
+                    w, nb, lo = _take(tabs, i)
+                    with jax.default_matmul_precision(fac_prec):
+                        return B.factor_panels_chol_region(
+                            L, w, nb, lo[0], cp, rbp, smax)
+            else:
+                raise ValueError(f"region engine: unsupported kind {kind}")
+        else:
+            if kind == "UC":
+                mp, kp, csp, srows = static
+
+                def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                       srows=srows):
+                    Lx, Ux = carry
+                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        EL, EU = B.update_rows_lu_c(
+                            Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
+                    return B.extend_add_region_lu(
+                        Lx, Ux, lo[0], eai, erb, erl, EL, EU,
+                        srows, csp, smax)
+            elif kind == "PC":
+                cp, rbp = static
+
+                def br(carry, i, tabs=tabs, cp=cp, rbp=rbp):
+                    Lx, Ux = carry
+                    w, nb, lo = _take(tabs, i)
+                    with jax.default_matmul_precision(fac_prec):
+                        return B.factor_panels_lu_region(
+                            Lx, Ux, w, nb, lo[0], cp, rbp, smax)
+            else:
+                raise ValueError(f"region engine: unsupported kind {kind}")
+        brs.append(br)
+    return brs
+
+
+def region_scan(brs, carry0, steps, lu: bool):
+    """Scan the step list with region-return branches: ONE unconditional
+    carry write per step, outside the switch."""
+    if not lu:
+        def body(L, xs):
+            c, i = xs
+            reg, off = lax.switch(c, brs, L, i)
+            return lax.dynamic_update_slice(L, reg, (off,)), None
+
+        L, _ = lax.scan(body, carry0[0], steps)
+        return (L,)
+
+    def body(carry, xs):
+        Lx, Ux = carry
+        c, i = xs
+        regl, regu, off = lax.switch(c, brs, carry, i)
+        Lx = lax.dynamic_update_slice(Lx, regl, (off,))
+        Ux = lax.dynamic_update_slice(Ux, regu, (off,))
+        return (Lx, Ux), None
+
+    carry, _ = lax.scan(body, carry0, steps)
+    return carry
+
+
 def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
     """One traced branch per shape class (shared by MegaRunner and the
     subtree-sharded engine in spfx.dist.subtree). Each branch maps
@@ -273,6 +378,10 @@ class MegaRunner:
         self._steps = (jnp.asarray(cls_ids), jnp.asarray(chunk_ids))
         self._flat, self._layout = _flatten_tables(classes)
         self._kinds = [(c["kind"], c["static"]) for c in classes]
+        # region-return engine (contig plans): branches emit a fixed-size
+        # region + offset; the carry write happens outside the switch
+        self._smax = region_smax(self._kinds,
+                                 [c["tables"] for c in classes])
         self._asm = jnp.asarray(plan.assembly_idx.astype(np.int32))
         if lu:
             self._asm_u = jnp.asarray(plan.assembly_idx_u.astype(np.int32))
@@ -281,6 +390,7 @@ class MegaRunner:
         storage = self.storage
 
         kinds = self._kinds
+        smax = self._smax
 
         def branches(tabs_by_class):
             return make_branches(kinds, tabs_by_class, lu, fac_prec,
@@ -291,8 +401,14 @@ class MegaRunner:
         if not lu:
             def once(vals, asm, cls_ids, chunk_ids, flat):
                 tabs_by_class = _unflatten(layout, flat)
-                brs = branches(tabs_by_class)
                 L = jnp.zeros((storage,), dtype=vals.dtype).at[asm].set(vals)
+                if smax and len(kinds):
+                    brs = make_region_branches(kinds, tabs_by_class, False,
+                                               fac_prec, upd_prec, smax)
+                    (L,) = region_scan(brs, (L,), (cls_ids, chunk_ids),
+                                       False)
+                    return L
+                brs = branches(tabs_by_class)
 
                 def body(L, xs):
                     c, i = xs
@@ -325,17 +441,22 @@ class MegaRunner:
         else:
             def once(vals_l, vals_u, asm_l, asm_u, cls_ids, chunk_ids, flat):
                 tabs_by_class = _unflatten(layout, flat)
-                brs = branches(tabs_by_class)
                 Lx = jnp.zeros((storage,), dtype=vals_l.dtype) \
                     .at[asm_l].set(vals_l)
                 Ux = jnp.zeros((storage,), dtype=vals_u.dtype) \
                     .at[asm_u].set(vals_u)
+                carry = (Lx, Ux)
+                if smax and len(kinds):
+                    brs = make_region_branches(kinds, tabs_by_class, True,
+                                               fac_prec, upd_prec, smax)
+                    return region_scan(brs, carry, (cls_ids, chunk_ids),
+                                       True)
+                brs = branches(tabs_by_class)
 
                 def body(carry, xs):
                     c, i = xs
                     return lax.switch(c, brs, carry, i), None
 
-                carry = (Lx, Ux)
                 if len(brs):
                     carry, _ = lax.scan(body, carry, (cls_ids, chunk_ids))
                 return carry

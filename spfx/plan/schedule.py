@@ -353,6 +353,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     first_col = sym.sn_start[:-1]
     rowpos = _row_position_lookup(sym)
     slack = SLACK
+    region_max = 0          # largest single-step writable region (elements)
 
     def smap(s_arr, p_arr):
         """Pattern row index -> storage row index (vectorized)."""
@@ -387,10 +388,12 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             if contig:
                 sel = sel[np.argsort(offsets[sel], kind="stable")]
             qb = _batch_quantum(len(sel), (cp + rbp) * cp,
-                                config.max_gather_elems,
+                                min(config.max_gather_elems,
+                                    config.max_region_elems),
                                 config.batch_floor_elems,
                                 config.max_pad_ratio)
             slack = max(slack, (cp + rbp) * cp)
+            region_max = max(region_max, qb * (cp + rbp) * cp)
             for c0 in range(0, len(sel), qb):
                 mk = _make_panel_bucket_c if contig else _make_panel_bucket
                 pb = mk(sel[c0:c0 + qb], W, Wp, R, offsets,
@@ -507,6 +510,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                 t_end = t_off + rows_sn[t_s[sel]] * Wp[t_s[sel]]
                 srows = srows_by_csp[csp]
                 cap = srows * csp
+                region_max = max(region_max, cap)
                 chunks = []
                 i0 = 0
                 for i in range(1, len(sel)):
@@ -549,6 +553,9 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         # (ref LU loadA, LU/Source/SparseFrame.c:2478-2536).
         assembly_idx_u = entry_positions(sp.tril(Ap.T, -1).tocsc())
 
+    # region-return engine contract: any step's region window
+    # [base, base + region_max) must stay inside storage for every base
+    slack = max(slack, region_max)
     if xsize + slack >= 2**31 and idx_dtype == np.int32:
         raise ValueError(
             f"factor too large for int32 indexing: {xsize} "

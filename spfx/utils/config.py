@@ -79,6 +79,16 @@ class Config:
     #                                   pad_pow2(ratio * class population),
     #                                   bounding dead padded work per call at
     #                                   the cost of extra jit signatures
+    max_region_elems: int = 1 << 21   # cap on one scan step's writable
+    #                                   storage region (panel bucket block /
+    #                                   update slab). The mega engine's
+    #                                   switch branches return their region
+    #                                   instead of the whole factor (a
+    #                                   read+write branch inside lax.switch
+    #                                   measures a full-carry copy per step:
+    #                                   679us vs 94us at 268MB storage /
+    #                                   8MB regions on v5e), so every step
+    #                                   pays REGION traffic, bounded here
 
     # ---- numeric --------------------------------------------------------
     dtype: str = "float32"          # device compute dtype

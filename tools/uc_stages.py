@@ -58,40 +58,49 @@ for (mp, kp, csp, srows), ubs in top:
           f"B={B} np={npd} ng={ng} x{len(ubs)} chunks", flush=True)
 
     def rep(fn):
+        # dependence threads through the (tiny) start-index array, NOT the
+        # 260MB factor (L + 0*acc materializes a full copy per iteration)
         @jax.jit
-        def r(reps, L):
+        def r(reps, L, ss):
             def body(i, acc):
-                return acc + fn(L + 0.0 * acc[0], i)
+                s2 = ss + (acc[0] * 0.0).astype(ss.dtype)
+                return acc + fn(L, s2, i)
             return lax.fori_loop(0, reps, body, jnp.zeros((1,), jnp.float32))
         return r
 
     with jax.default_matmul_precision("highest"):
-        g1 = rep(lambda L, i: jnp.sum(
-            blocks._task_gather(L, ss, mp, kp))[None])
-        dt = slope(g1, L); print(f"  gather:        {dt*1e6:8.0f} us", flush=True)
+        g1 = rep(lambda L, s2, i: jnp.sum(
+            blocks._task_gather(L, s2, mp, kp))[None])
+        dt = slope(g1, L, ss)
+        print(f"  gather:        {dt*1e6:8.0f} us", flush=True)
 
-        def f2(L, i):
-            Gm = blocks._task_gather(L, ss, mp, kp)
+        def f2(L, s2, i):
+            Gm = blocks._task_gather(L, s2, mp, kp)
             Gm = Gm * blocks._col_mask(kw, kp, L.dtype)[:, None, :] \
                 * blocks._row_mask(mr, mp, L.dtype)[:, :, None]
             C = jnp.einsum("bmk,bnk->bmn", Gm, Gm[:, :npd, :],
                            preferred_element_type=L.dtype)
             return jnp.sum(C)[None]
-        dt = slope(rep(f2), L); print(f"  +syrk C:       {dt*1e6:8.0f} us", flush=True)
+        dt = slope(rep(f2), L, ss)
+        print(f"  +syrk C:       {dt*1e6:8.0f} us", flush=True)
 
-        def f3(L, i):
-            E = blocks.update_rows_sym_c(L, kw, mr, ss, cpos, mp, kp, csp)
+        def f3(L, s2, i):
+            E = blocks.update_rows_sym_c(L, kw, mr, s2, cpos, mp, kp, csp)
             return jnp.sum(E)[None]
-        dt = slope(rep(f3), L); print(f"  +expand E:     {dt*1e6:8.0f} us", flush=True)
+        dt = slope(rep(f3), L, ss)
+        print(f"  +expand E:     {dt*1e6:8.0f} us", flush=True)
 
-        def f4(L, i):
-            E = blocks.update_rows_sym_c(L, kw, mr, ss, cpos, mp, kp, csp)
+        def f4(L, s2, i):
+            E = blocks.update_rows_sym_c(L, kw, mr, s2, cpos, mp, kp, csp)
             L2 = blocks.extend_add_slab(L, lo[0], eai, erb, erl, E,
                                         srows, csp)
             return L2[:1]
-        dt = slope(rep(f4), L); print(f"  +extend-add:   {dt*1e6:8.0f} us", flush=True)
+        dt = slope(rep(f4), L, ss)
+        print(f"  +extend-add:   {dt*1e6:8.0f} us", flush=True)
 
-        def f5(L, i):
-            slab = lax.dynamic_slice(L, (lo[0],), (srows * csp,))
+        def f5(L, s2, i):
+            slab = lax.dynamic_slice(L, (lo[0] + s2[0] * 0,),
+                                     (srows * csp,))
             return slab[:1]
-        dt = slope(rep(f5), L); print(f"  slab slice:    {dt*1e6:8.0f} us", flush=True)
+        dt = slope(rep(f5), L, ss)
+        print(f"  slab slice:    {dt*1e6:8.0f} us", flush=True)
