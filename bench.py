@@ -130,9 +130,7 @@ def build_ctx(A, kind: str):
     config = Config(
         dtype="float32", ordering="nd", matmul_precision="highest",
         engine="mega",
-        class_min=int(os.environ.get("SPFX_CLASS_MIN", "32")),
-        batch_floor_elems=int(os.environ.get("SPFX_BATCH_FLOOR",
-                                             str(1 << 20))),
+        class_min=int(os.environ.get("SPFX_CLASS_MIN", "8")),
         update_precision=os.environ.get("SPFX_UPDATE_PRECISION") or None)
     if kind == "lu":
         from spfx.lu.factorize import LU as Ctx

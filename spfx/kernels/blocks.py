@@ -418,45 +418,6 @@ def factor_panels_lu_uj(Lx, Ux, widths, nbelow, slab_lo,
     return factor_panels_lu_u(Lx, Ux, widths, nbelow, slab_lo[0], cp, rbp)
 
 
-def update_rows_sym_w(win, kw, mrows, rel_start, tgt_cpos,
-                      mp: int, kp: int, csp: int):
-    """update_rows_sym_c reading from a hoisted SOURCE WINDOW instead of
-    the whole factor (rel_start = src_start - src_lo, -1 invalid). The
-    mega engine slices the window OUTSIDE its lax.switch: any gather whose
-    operand is a conditional input makes XLA copy the full operand
-    (measured 700us/step on a 268MB factor)."""
-    G = _task_gather(win, rel_start, mp, kp)
-    G = G * _col_mask(kw, kp, win.dtype)[:, None, :] \
-        * _row_mask(mrows, mp, win.dtype)[:, :, None]
-    np_ = tgt_cpos.shape[1]
-    Gt = _conj(G[:, :np_, :])
-    C = jnp.einsum("bmk,bnk->bmn", G, Gt, preferred_element_type=win.dtype)
-    oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :])
-    return jnp.einsum("bmn,bnc->bmc", C, oh.astype(win.dtype),
-                      preferred_element_type=win.dtype)
-
-
-def update_rows_lu_w(winl, winu, kw, mrows, rel_start, tgt_cpos,
-                     mp: int, kp: int, csp: int):
-    """update_rows_lu_c from hoisted L/U source windows."""
-    km = _col_mask(kw, kp, winl.dtype)[:, None, :]
-    rm = _row_mask(mrows, mp, winl.dtype)[:, :, None]
-    GL = _task_gather(winl, rel_start, mp, kp) * km * rm
-    GU = _task_gather(winu, rel_start, mp, kp) * km * rm
-    np_ = tgt_cpos.shape[1]
-    CL = jnp.einsum("bmk,bnk->bmn", GL, GU[:, :np_, :],
-                    preferred_element_type=winl.dtype)
-    CU = jnp.einsum("bmk,bnk->bmn", GU, GL[:, :np_, :],
-                    preferred_element_type=winl.dtype)
-    oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :]) \
-        .astype(winl.dtype)
-    EL = jnp.einsum("bmn,bnc->bmc", CL, oh,
-                    preferred_element_type=winl.dtype)
-    EU = jnp.einsum("bmn,bnc->bmc", CU, oh,
-                    preferred_element_type=winl.dtype)
-    return EL, EU
-
-
 def update_rows_sym_c(L, kw, mrows, src_start, tgt_cpos,
                       mp: int, kp: int, csp: int):
     """Contig-layout symmetric update rows (cf. update_rows_sym): one

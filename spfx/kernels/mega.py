@@ -91,9 +91,8 @@ def _collect(plan, solve_only: bool = False):
                     add("UC", ("UC", ub.mp, ub.kp, ub.csp, ub.slab_rows),
                         (ub.mp, ub.kp, ub.csp, ub.slab_rows),
                         [ub.kw, ub.mrows, ub.src_start, ub.slab_lo,
-                         ub.ea_idx, ub.ea_rbase, ub.ea_rel, ub.tgt_cpos,
-                         ub.src_lo],
-                        [0, 0, -1, 0, 0, 0, -1, -1, 0])
+                         ub.ea_idx, ub.ea_rbase, ub.ea_rel, ub.tgt_cpos],
+                        [0, 0, -1, 0, 0, 0, -1, -1])
                 else:
                     mp = ub.src_row_start.shape[1]
                     add("U", ("U", mp, ub.kp, ub.csp),
@@ -184,7 +183,7 @@ def region_smax(kinds_statics, tables) -> int:
 
 
 def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
-                         upd_prec, smax: int, srcw: int = 0):
+                         upd_prec, smax: int):
     """REGION-RETURN branches: each maps (carry, chunk_index) to
     (region(s) of exactly ``smax`` elements, base offset); the scan body
     writes the region into the carry OUTSIDE the lax.switch. Rationale
@@ -200,20 +199,18 @@ def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
             if kind == "UC":
                 mp, kp, csp, srows = static
 
-                def br(L, win, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
-                    kw, mr, ss, lo, eai, erb, erl, cpos, slo = \
-                        _take(tabs, i)
-                    rel = jnp.where(ss >= 0, ss - slo[0], -1)
+                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
-                        E = B.update_rows_sym_w(
-                            win, kw, mr, rel, cpos, mp, kp, csp)
+                        E = B.update_rows_sym_c(
+                            L, kw, mr, ss, cpos, mp, kp, csp)
                     return B.extend_add_region(L, lo[0], eai, erb, erl, E,
                                                srows, csp, smax)
             elif kind == "PC":
                 cp, rbp = static
 
-                def br(L, win, i, tabs=tabs, cp=cp, rbp=rbp):
+                def br(L, i, tabs=tabs, cp=cp, rbp=rbp):
                     w, nb, lo = _take(tabs, i)
                     with jax.default_matmul_precision(fac_prec):
                         return B.factor_panels_chol_region(
@@ -224,23 +221,20 @@ def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
             if kind == "UC":
                 mp, kp, csp, srows = static
 
-                def br(carry, wins, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
                     Lx, Ux = carry
-                    winl, winu = wins
-                    kw, mr, ss, lo, eai, erb, erl, cpos, slo = \
-                        _take(tabs, i)
-                    rel = jnp.where(ss >= 0, ss - slo[0], -1)
+                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
-                        EL, EU = B.update_rows_lu_w(
-                            winl, winu, kw, mr, rel, cpos, mp, kp, csp)
+                        EL, EU = B.update_rows_lu_c(
+                            Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
                     return B.extend_add_region_lu(
                         Lx, Ux, lo[0], eai, erb, erl, EL, EU,
                         srows, csp, smax)
             elif kind == "PC":
                 cp, rbp = static
 
-                def br(carry, wins, i, tabs=tabs, cp=cp, rbp=rbp):
+                def br(carry, i, tabs=tabs, cp=cp, rbp=rbp):
                     Lx, Ux = carry
                     w, nb, lo = _take(tabs, i)
                     with jax.default_matmul_precision(fac_prec):
@@ -252,15 +246,13 @@ def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
     return brs
 
 
-def region_scan(brs, carry0, steps, lu: bool, srcw: int):
-    """Scan the step list with region-return branches: the source window
-    is sliced and the carry written OUTSIDE the switch (a gather inside a
-    conditional copies the whole operand; so does a branch write)."""
+def region_scan(brs, carry0, steps, lu: bool):
+    """Scan the step list with region-return branches: ONE unconditional
+    carry write per step, outside the switch."""
     if not lu:
         def body(L, xs):
-            c, i, slo = xs
-            win = lax.dynamic_slice(L, (slo,), (srcw,))
-            reg, off = lax.switch(c, brs, L, win, i)
+            c, i = xs
+            reg, off = lax.switch(c, brs, L, i)
             return lax.dynamic_update_slice(L, reg, (off,)), None
 
         L, _ = lax.scan(body, carry0[0], steps)
@@ -268,10 +260,8 @@ def region_scan(brs, carry0, steps, lu: bool, srcw: int):
 
     def body(carry, xs):
         Lx, Ux = carry
-        c, i, slo = xs
-        wins = (lax.dynamic_slice(Lx, (slo,), (srcw,)),
-                lax.dynamic_slice(Ux, (slo,), (srcw,)))
-        regl, regu, off = lax.switch(c, brs, carry, wins, i)
+        c, i = xs
+        regl, regu, off = lax.switch(c, brs, carry, i)
         Lx = lax.dynamic_update_slice(Lx, regl, (off,))
         Ux = lax.dynamic_update_slice(Ux, regu, (off,))
         return (Lx, Ux), None
@@ -301,8 +291,7 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
 
                 def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
-                    kw, mr, ss, lo, eai, erb, erl, cpos, _slo = \
-                        _take(tabs, i)
+                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         E = B.update_rows_sym_c(
                             L, kw, mr, ss, cpos, mp, kp, csp)
@@ -342,8 +331,7 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
                 def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
                     Lx, Ux = carry
-                    kw, mr, ss, lo, eai, erb, erl, cpos, _slo = \
-                        _take(tabs, i)
+                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         EL, EU = B.update_rows_lu_c(
                             Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
@@ -387,21 +375,13 @@ class MegaRunner:
         self.plan = plan
         self.storage = plan.storage
         classes, cls_ids, chunk_ids = _collect(plan)
-        # per-step source-window base (UC chunks; 0 elsewhere) for the
-        # hoisted source slice in region_scan
-        srclo = np.zeros(len(cls_ids), np.int32)
-        for t, (c, i) in enumerate(zip(cls_ids, chunk_ids)):
-            if classes[c]["kind"] == "UC":
-                srclo[t] = classes[c]["tables"][8][i][0]
-        self._steps = (jnp.asarray(cls_ids), jnp.asarray(chunk_ids),
-                       jnp.asarray(srclo))
+        self._steps = (jnp.asarray(cls_ids), jnp.asarray(chunk_ids))
         self._flat, self._layout = _flatten_tables(classes)
         self._kinds = [(c["kind"], c["static"]) for c in classes]
         # region-return engine (contig plans): branches emit a fixed-size
         # region + offset; the carry write happens outside the switch
         self._smax = region_smax(self._kinds,
                                  [c["tables"] for c in classes])
-        self._srcw = int(getattr(plan, "src_window", 0))
         self._asm = jnp.asarray(plan.assembly_idx.astype(np.int32))
         if lu:
             self._asm_u = jnp.asarray(plan.assembly_idx_u.astype(np.int32))
@@ -411,7 +391,6 @@ class MegaRunner:
 
         kinds = self._kinds
         smax = self._smax
-        srcw = self._srcw
 
         def branches(tabs_by_class):
             return make_branches(kinds, tabs_by_class, lu, fac_prec,
@@ -420,16 +399,14 @@ class MegaRunner:
         layout = self._layout
 
         if not lu:
-            def once(vals, asm, cls_ids, chunk_ids, srclo, flat):
+            def once(vals, asm, cls_ids, chunk_ids, flat):
                 tabs_by_class = _unflatten(layout, flat)
                 L = jnp.zeros((storage,), dtype=vals.dtype).at[asm].set(vals)
-                if smax and srcw and len(kinds):
+                if smax and len(kinds):
                     brs = make_region_branches(kinds, tabs_by_class, False,
-                                               fac_prec, upd_prec, smax,
-                                               srcw)
-                    (L,) = region_scan(brs, (L,),
-                                       (cls_ids, chunk_ids, srclo),
-                                       False, srcw)
+                                               fac_prec, upd_prec, smax)
+                    (L,) = region_scan(brs, (L,), (cls_ids, chunk_ids),
+                                       False)
                     return L
                 brs = branches(tabs_by_class)
 
@@ -442,13 +419,13 @@ class MegaRunner:
                 return L
 
             @jax.jit
-            def run_rep(reps, vals, asm, cls_ids, chunk_ids, srclo, *flat):
+            def run_rep(reps, vals, asm, cls_ids, chunk_ids, *flat):
                 # `reps` back-to-back factorizations inside one dispatch
                 # (benchmark path): a full-reduction data dependence chains
                 # the iterations so none can be elided or reordered.
                 def body(i, Lp):
                     v = vals + jnp.sum(Lp) * 0
-                    return once(v, asm, cls_ids, chunk_ids, srclo, flat)
+                    return once(v, asm, cls_ids, chunk_ids, flat)
 
                 init = jnp.zeros((storage,), dtype=vals.dtype)
                 return lax.fori_loop(0, reps, body, init)
@@ -456,27 +433,24 @@ class MegaRunner:
             # run == run_rep(1): ONE compiled program serves both the
             # production path and the bench slope path (a separate plain jit
             # doubled the dominant cold-start cost for nothing)
-            def run(vals, asm, cls_ids, chunk_ids, srclo, *flat):
+            def run(vals, asm, cls_ids, chunk_ids, *flat):
                 return run_rep(jnp.int32(1), vals, asm, cls_ids, chunk_ids,
-                               srclo, *flat)
+                               *flat)
 
             self._run, self._run_rep, self._once = run, run_rep, once
         else:
-            def once(vals_l, vals_u, asm_l, asm_u, cls_ids, chunk_ids,
-                     srclo, flat):
+            def once(vals_l, vals_u, asm_l, asm_u, cls_ids, chunk_ids, flat):
                 tabs_by_class = _unflatten(layout, flat)
                 Lx = jnp.zeros((storage,), dtype=vals_l.dtype) \
                     .at[asm_l].set(vals_l)
                 Ux = jnp.zeros((storage,), dtype=vals_u.dtype) \
                     .at[asm_u].set(vals_u)
                 carry = (Lx, Ux)
-                if smax and srcw and len(kinds):
+                if smax and len(kinds):
                     brs = make_region_branches(kinds, tabs_by_class, True,
-                                               fac_prec, upd_prec, smax,
-                                               srcw)
-                    return region_scan(brs, carry,
-                                       (cls_ids, chunk_ids, srclo),
-                                       True, srcw)
+                                               fac_prec, upd_prec, smax)
+                    return region_scan(brs, carry, (cls_ids, chunk_ids),
+                                       True)
                 brs = branches(tabs_by_class)
 
                 def body(carry, xs):
@@ -489,20 +463,20 @@ class MegaRunner:
 
             @jax.jit
             def run_rep(reps, vals_l, vals_u, asm_l, asm_u, cls_ids,
-                        chunk_ids, srclo, *flat):
+                        chunk_ids, *flat):
                 def body(i, carry):
                     d = (jnp.sum(carry[0]) + jnp.sum(carry[1])) * 0
                     return once(vals_l + d, vals_u + d, asm_l, asm_u,
-                                cls_ids, chunk_ids, srclo, flat)
+                                cls_ids, chunk_ids, flat)
 
                 init = (jnp.zeros((storage,), dtype=vals_l.dtype),
                         jnp.zeros((storage,), dtype=vals_u.dtype))
                 return lax.fori_loop(0, reps, body, init)
 
             def run(vals_l, vals_u, asm_l, asm_u, cls_ids, chunk_ids,
-                    srclo, *flat):
+                    *flat):
                 return run_rep(jnp.int32(1), vals_l, vals_u, asm_l, asm_u,
-                               cls_ids, chunk_ids, srclo, *flat)
+                               cls_ids, chunk_ids, *flat)
 
             self._run, self._run_rep, self._once = run, run_rep, once
 

@@ -181,7 +181,7 @@ class UpdateBucketC:
     mp: int                    # static source row window
     kp: int                    # static source width == source stride
     csp: int                   # static target width == target stride
-    slab_rows: int             # static slab height (8-padded)
+    slab_rows: int             # static slab height (pow2)
     flops: float
     # WINDOWED ONE-HOT extend-add plan (round 4): the valid update rows,
     # sorted by target slab row, cut into groups of <= EA_G pairs whose
@@ -193,9 +193,6 @@ class UpdateBucketC:
     ea_idx: np.ndarray = None   # (ngroups*EA_G,) int32 flat E row, 0 pad
     ea_rbase: np.ndarray = None  # (ngroups,) int32 window base slab row
     ea_rel: np.ndarray = None   # (ngroups, EA_G) int32 row - rbase, -1 pad
-    src_lo: np.ndarray = None   # (1,) int32 source window base (the chunk's
-    #                             sources all lie in [src_lo, src_lo +
-    #                             plan.src_window); see Config.src_window_elems)
     _dev: tuple = None
 
     def dev(self):
@@ -237,9 +234,6 @@ class FactorPlan:
     below_shift: np.ndarray | None = None  # (nsuper,) storage-row shift of
     #                                        below rows (uniform layout);
     #                                        zeros for rowwin
-    src_window: int = 0             # static hoisted source-window length
-    #                                 (0: engine reads sources straight from
-    #                                 the factor array)
 
     @property
     def storage(self) -> int:
@@ -483,10 +477,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
             for c in np.unique(Wp):
                 big = int(rows_sn[Wp == c].max())
                 lane_bytes = max(128, int(c)) * itemsize
-                # pad to sublanes only (not pow2): srows * csp IS the
-                # region-return step's write size, paid per scan step
-                srows_by_csp[int(c)] = -(-max(
-                    slab_bytes // lane_bytes, big) // 8) * 8
+                srows_by_csp[int(c)] = pad_pow2(
+                    max(slab_bytes // lane_bytes, big), 8)
         keep_upd = sn_filter[t_d] if sn_filter is not None \
             else np.ones(len(t_d), dtype=bool)
         for lv in range(nlev):
@@ -519,25 +511,12 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                 srows = srows_by_csp[csp]
                 cap = srows * csp
                 region_max = max(region_max, cap)
-                # source span cap: the scan hoists one contiguous source
-                # window per step (see Config.src_window_elems)
-                s_off = offsets[t_d[sel]] \
-                    + (t_lpos[sel] + below_shift[t_d[sel]]) * Wp[t_d[sel]]
-                s_end = s_off + t_M[sel] * Wp[t_d[sel]]
-                scap = config.src_window_elems
                 chunks = []
                 i0 = 0
-                slo = shi = None
-                for i in range(len(sel)):
-                    lo2 = s_off[i] if slo is None else min(slo, s_off[i])
-                    hi2 = s_end[i] if shi is None else max(shi, s_end[i])
-                    if i > i0 and (i - i0 >= qb
-                                   or t_end[i] - t_off[i0] > cap
-                                   or hi2 - lo2 > scap):
+                for i in range(1, len(sel)):
+                    if i - i0 >= qb or t_end[i] - t_off[i0] > cap:
                         chunks.append((i0, i))
                         i0 = i
-                        lo2, hi2 = s_off[i], s_end[i]
-                    slo, shi = lo2, hi2
                 chunks.append((i0, len(sel)))
                 for a, b in chunks:
                     ub = _make_update_bucket_c(
@@ -575,11 +554,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         assembly_idx_u = entry_positions(sp.tril(Ap.T, -1).tocsc())
 
     # region-return engine contract: any step's region window
-    # [base, base + region_max) and source window [src_lo, src_lo +
-    # src_window) must stay inside storage for every base
-    src_window = min(config.src_window_elems,
-                     -(-max(xsize, 1) // 8) * 8 + SLACK) if contig else 0
-    slack = max(slack, region_max, src_window)
+    # [base, base + region_max) must stay inside storage for every base
+    slack = max(slack, region_max)
     if xsize + slack >= 2**31 and idx_dtype == np.int32:
         raise ValueError(
             f"factor too large for int32 indexing: {xsize} "
@@ -588,8 +564,7 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                       assembly_idx=assembly_idx, offsets=offsets,
                       flops=(2.0 if lu else 1.0) * total_flops,
                       assembly_idx_u=assembly_idx_u, strides=Wp,
-                      slack=slack, below_shift=below_shift,
-                      src_window=int(src_window))
+                      slack=slack, below_shift=below_shift)
 
 
 def _pad_batch(arrs, B, Bq, fills):
@@ -722,13 +697,10 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
         ea_idx[g * EA_G: g * EA_G + (b2 - a)] = sv[a:b2]
         ea_rel[g, : b2 - a] = rs[a:b2] - rb
     sds = _pad_batch([d], B, qb, [-1])[0].astype(np.int64)
-    vsrc = src_start[src_start >= 0]
-    src_lo_v = int(vsrc.min()) if len(vsrc) else 0
     ub = UpdateBucketC(kw_a, m_a, ss_a,
                        np.asarray([slab_lo], idx_dtype), lr_a, cp_a,
                        mp, kp, csp, int(srows), flops,
-                       ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel,
-                       src_lo=np.asarray([src_lo_v], idx_dtype))
+                       ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel)
     ub.sds = sds
     return ub
 

@@ -79,14 +79,6 @@ class Config:
     #                                   pad_pow2(ratio * class population),
     #                                   bounding dead padded work per call at
     #                                   the cost of extra jit signatures
-    src_window_elems: int = 1 << 23   # cap on one update chunk's SOURCE
-    #                                   span: the mega scan hoists one
-    #                                   contiguous source window out of the
-    #                                   switch per step, because a gather
-    #                                   whose operand is a conditional input
-    #                                   makes XLA copy the whole operand
-    #                                   (measured 700us/step on the 268MB
-    #                                   factor vs 94us without the gather)
     max_region_elems: int = 1 << 21   # cap on one scan step's writable
     #                                   storage region (panel bucket block /
     #                                   update slab). The mega engine's
