@@ -22,13 +22,21 @@ BATCH = 1 << 16
 N, M, K = 64, 64, 32       # ref dims: cublas_demo.h:14-17
 
 
+def _sync(out):
+    """Force completion with a data-dependent host fetch:
+    block_until_ready has been observed to return before compute completes
+    on tunneled backends (axon), silently timing enqueue instead."""
+    import numpy as _np
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(_np.asarray(jnp.sum(leaves[0])).real)
+
+
 def _time(fn, *args, reps=5):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else \
-        jax.block_until_ready(fn(*args))
+    _sync(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -80,7 +88,7 @@ def main():
     outs = []
     for i in range(sub):
         outs.append(strategy_batched(A[i:i + 1], B[i:i + 1]))
-    jax.block_until_ready(outs)
+    _sync(outs)
     t = (time.perf_counter() - t0) * (BATCH / sub)
     results["per_task_loop_extrapolated"] = fl / t / 1e9
 
