@@ -253,7 +253,12 @@ class Cholesky:
                     # factor its panels
                     with jax.default_matmul_precision(upd_prec):
                         for ub in lp.updates:
-                            if isinstance(ub, UpdateBucketC):
+                            if isinstance(ub, UpdateBucketC) \
+                                    and ub.head_start is not None:
+                                L = blocks.apply_updates_sym_t(
+                                    L, *ub.dev(), mp=ub.mp, kp=ub.kp,
+                                    csp=ub.csp, srows=ub.slab_rows)
+                            elif isinstance(ub, UpdateBucketC):
                                 L = blocks.apply_updates_sym_c(
                                     L, *ub.dev(), mp=ub.mp, kp=ub.kp,
                                     csp=ub.csp, srows=ub.slab_rows)

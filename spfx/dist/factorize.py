@@ -64,7 +64,13 @@ def _chol_chunk_fn(spec, axis):
             if upds:
                 delta = jnp.zeros_like(L)
                 for ent in upds:
-                    if ent[0] == "UC":
+                    if ent[0] == "UT":
+                        _, mp, kp, csp = ent
+                        kw, mr, ss, hs, tgt, cpos = \
+                            (next(it) for _ in range(6))
+                        E = blocks.update_rows_sym_t(L, kw, mr, ss, hs,
+                                                     cpos, mp, kp, csp)
+                    elif ent[0] == "UC":
                         _, mp, kp, csp = ent
                         kw, mr, ss, tgt, cpos = (next(it) for _ in range(5))
                         E = blocks.update_rows_sym_c(L, kw, mr, ss, cpos,
@@ -106,7 +112,13 @@ def _lu_chunk_fn(spec, axis):
                 dL = jnp.zeros_like(Lx)
                 dU = jnp.zeros_like(Ux)
                 for ent in upds:
-                    if ent[0] == "UC":
+                    if ent[0] == "UT":
+                        _, mp, kp, csp = ent
+                        kw, mr, ss, hs, tgt, cpos = \
+                            (next(it) for _ in range(6))
+                        EL, EU = blocks.update_rows_lu_t(
+                            Lx, Ux, kw, mr, ss, hs, cpos, mp, kp, csp)
+                    elif ent[0] == "UC":
                         _, mp, kp, csp = ent
                         kw, mr, ss, tgt, cpos = (next(it) for _ in range(5))
                         EL, EU = blocks.update_rows_lu_c(
@@ -183,7 +195,14 @@ class _ShardedBase:
             for lp in levels:
                 upds, panels = [], []
                 for ub in lp.updates:
-                    if isinstance(ub, UpdateBucketC):
+                    if isinstance(ub, UpdateBucketC) \
+                            and ub.head_start is not None:
+                        upds.append(("UT", ub.mp, ub.kp, ub.csp))
+                        arrs = (ub.kw, ub.mrows, ub.src_start,
+                                ub.head_start, ub.tgt_row_start,
+                                ub.tgt_cpos)
+                        fills = (0, 0, -1, -1, -1, -1)
+                    elif isinstance(ub, UpdateBucketC):
                         upds.append(("UC", ub.mp, ub.kp, ub.csp))
                         arrs = (ub.kw, ub.mrows, ub.src_start,
                                 ub.tgt_row_start, ub.tgt_cpos)

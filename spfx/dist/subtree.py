@@ -255,10 +255,17 @@ class _SubtreeBase:
             upds, panels = [], []
             for ub in lp.updates:
                 assert isinstance(ub, UpdateBucketC)
-                upds.append(("UC", ub.mp, ub.kp, ub.csp))
-                arrs = (ub.kw, ub.mrows, ub.src_start,
-                        ub.tgt_row_start, ub.tgt_cpos)
-                for a, f in zip(arrs, (0, 0, -1, -1, -1)):
+                if ub.head_start is not None:
+                    upds.append(("UT", ub.mp, ub.kp, ub.csp))
+                    arrs = (ub.kw, ub.mrows, ub.src_start, ub.head_start,
+                            ub.tgt_row_start, ub.tgt_cpos)
+                    fills = (0, 0, -1, -1, -1, -1)
+                else:
+                    upds.append(("UC", ub.mp, ub.kp, ub.csp))
+                    arrs = (ub.kw, ub.mrows, ub.src_start,
+                            ub.tgt_row_start, ub.tgt_cpos)
+                    fills = (0, 0, -1, -1, -1)
+                for a, f in zip(arrs, fills):
                     targs.append(jax.device_put(
                         _pad_dim0(a, self.ndev, f), shd))
             for pb in lp.panels:

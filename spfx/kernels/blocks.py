@@ -574,6 +574,71 @@ def apply_updates_sym_c(L, kw, mrows, src_start, slab_lo, ea_idx, ea_rbase,
                            srows, csp)
 
 
+def update_rows_sym_t(L, kw, mrows, src_start, head_start, tgt_cpos,
+                      mp: int, kp: int, csp: int):
+    """M-TILED symmetric update rows (round-5 classes, see
+    UpdateBucketC.head_start): each batch item is one (<= mp)-row tile of
+    a task; the task's N block is a separate (csp, kp) head window.  Head
+    rows beyond the true N read whatever follows in storage — their
+    tgt_cpos is -1, so the one-hot drops the corresponding C columns."""
+    G = _task_gather(L, src_start, mp, kp)                 # (B, mp, kp)
+    G = G * _col_mask(kw, kp, L.dtype)[:, None, :] \
+        * _row_mask(mrows, mp, L.dtype)[:, :, None]
+    H = _task_gather(L, head_start, csp, kp)               # (B, csp, kp)
+    H = H * _col_mask(kw, kp, L.dtype)[:, None, :]
+    C = jnp.einsum("bmk,bnk->bmn", G, _conj(H),
+                   preferred_element_type=L.dtype)
+    oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :])
+    return jnp.einsum("bmn,bnc->bmc", C, oh.astype(L.dtype),
+                      preferred_element_type=L.dtype)
+
+
+def update_rows_lu_t(Lx, Ux, kw, mrows, src_start, head_start, tgt_cpos,
+                     mp: int, kp: int, csp: int):
+    """M-tiled LU update rows: GEMM pair with separately gathered head
+    windows (cf. update_rows_lu_c)."""
+    km = _col_mask(kw, kp, Lx.dtype)[:, None, :]
+    rm = _row_mask(mrows, mp, Lx.dtype)[:, :, None]
+    GL = _task_gather(Lx, src_start, mp, kp) * km * rm
+    GU = _task_gather(Ux, src_start, mp, kp) * km * rm
+    HL = _task_gather(Lx, head_start, csp, kp) * km
+    HU = _task_gather(Ux, head_start, csp, kp) * km
+    CL = jnp.einsum("bmk,bnk->bmn", GL, HU,
+                    preferred_element_type=Lx.dtype)
+    CU = jnp.einsum("bmk,bnk->bmn", GU, HL,
+                    preferred_element_type=Lx.dtype)
+    oh = (tgt_cpos[:, :, None] == jnp.arange(csp)[None, None, :]) \
+        .astype(Lx.dtype)
+    EL = jnp.einsum("bmn,bnc->bmc", CL, oh, preferred_element_type=Lx.dtype)
+    EU = jnp.einsum("bmn,bnc->bmc", CU, oh, preferred_element_type=Lx.dtype)
+    return EL, EU
+
+
+@partial(jax.jit, donate_argnums=0,
+         static_argnames=("mp", "kp", "csp", "srows"))
+def apply_updates_sym_t(L, kw, mrows, src_start, head_start, slab_lo,
+                        ea_idx, ea_rbase, ea_rel, tgt_cpos, mp: int,
+                        kp: int, csp: int, srows: int):
+    E = update_rows_sym_t(L, kw, mrows, src_start, head_start, tgt_cpos,
+                          mp, kp, csp)
+    return extend_add_slab(L, slab_lo[0], ea_idx, ea_rbase, ea_rel, E,
+                           srows, csp)
+
+
+@partial(jax.jit, donate_argnums=(0, 1),
+         static_argnames=("mp", "kp", "csp", "srows"))
+def apply_updates_lu_t(Lx, Ux, kw, mrows, src_start, head_start, slab_lo,
+                       ea_idx, ea_rbase, ea_rel, tgt_cpos, mp: int,
+                       kp: int, csp: int, srows: int):
+    EL, EU = update_rows_lu_t(Lx, Ux, kw, mrows, src_start, head_start,
+                              tgt_cpos, mp, kp, csp)
+    Lx = extend_add_slab(Lx, slab_lo[0], ea_idx, ea_rbase, ea_rel, EL,
+                         srows, csp)
+    Ux = extend_add_slab(Ux, slab_lo[0], ea_idx, ea_rbase, ea_rel, EU,
+                         srows, csp)
+    return Lx, Ux
+
+
 def _lu_deltas_blocked(DLraw, DUraw, BLraw, BUraw, widths, nbelow,
                        cp: int, rbp: int):
     """Blocked-MXU LU panel path (cf. _chol_deltas_blocked): the serial

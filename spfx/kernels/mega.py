@@ -82,7 +82,17 @@ def _collect(plan, solve_only: bool = False):
     for lp in plan.levels:
         if not solve_only:
             for ub in lp.updates:
-                if isinstance(ub, UpdateBucketC):
+                if isinstance(ub, UpdateBucketC) \
+                        and ub.head_start is not None:
+                    # M-tiled class (round 5): np == csp is uniform, so the
+                    # key is just the tile/source/target shapes
+                    add("UT", ("UT", ub.mp, ub.kp, ub.csp, ub.slab_rows),
+                        (ub.mp, ub.kp, ub.csp, ub.slab_rows),
+                        [ub.kw, ub.mrows, ub.src_start, ub.head_start,
+                         ub.slab_lo, ub.ea_idx, ub.ea_rbase, ub.ea_rel,
+                         ub.tgt_cpos],
+                        [0, 0, -1, -1, 0, 0, 0, -1, -1])
+                elif isinstance(ub, UpdateBucketC):
                     # class key deliberately EXCLUDES np (= tgt_cpos width):
                     # chunks with different true-N paddings share one switch
                     # branch (tgt_cpos re-padded to the class max below) —
@@ -170,7 +180,7 @@ def region_smax(kinds_statics, tables) -> int:
     PC bucket blocks (region-return engine; see make_region_branches)."""
     smax = 8
     for (kind, static), tabs in zip(kinds_statics, tables):
-        if kind == "UC":
+        if kind in ("UC", "UT"):
             mp, kp, csp, srows = static
             smax = max(smax, srows * csp)
         elif kind == "PC":
@@ -196,7 +206,18 @@ def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
     brs = []
     for (kind, static), tabs in zip(kinds, tabs_by_class):
         if not lu:
-            if kind == "UC":
+            if kind == "UT":
+                mp, kp, csp, srows = static
+
+                def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                       srows=srows):
+                    kw, mr, ss, hs, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        E = B.update_rows_sym_t(
+                            L, kw, mr, ss, hs, cpos, mp, kp, csp)
+                    return B.extend_add_region(L, lo[0], eai, erb, erl, E,
+                                               srows, csp, smax)
+            elif kind == "UC":
                 mp, kp, csp, srows = static
 
                 def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
@@ -218,7 +239,20 @@ def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
             else:
                 raise ValueError(f"region engine: unsupported kind {kind}")
         else:
-            if kind == "UC":
+            if kind == "UT":
+                mp, kp, csp, srows = static
+
+                def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                       srows=srows):
+                    Lx, Ux = carry
+                    kw, mr, ss, hs, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        EL, EU = B.update_rows_lu_t(
+                            Lx, Ux, kw, mr, ss, hs, cpos, mp, kp, csp)
+                    return B.extend_add_region_lu(
+                        Lx, Ux, lo[0], eai, erb, erl, EL, EU,
+                        srows, csp, smax)
+            elif kind == "UC":
                 mp, kp, csp, srows = static
 
                 def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
@@ -286,6 +320,17 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
                     with jax.default_matmul_precision(upd_prec):
                         E = B.update_rows_sym(L, kw, srs, cpos, kp, csp)
                     return B._win_scatter_add(L, trs, -E)
+            elif kind == "UT":
+                mp, kp, csp, srows = static
+
+                def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                       srows=srows):
+                    kw, mr, ss, hs, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        E = B.update_rows_sym_t(
+                            L, kw, mr, ss, hs, cpos, mp, kp, csp)
+                    return B.extend_add_slab(L, lo[0], eai, erb, erl, E,
+                                             srows, csp)
             elif kind == "UC":
                 mp, kp, csp, srows = static
 
@@ -324,6 +369,21 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
                             Lx, Ux, kw, srs, cpos, kp, csp)
                     Lx = B._win_scatter_add(Lx, trs, -EL)
                     Ux = B._win_scatter_add(Ux, trs, -EU)
+                    return Lx, Ux
+            elif kind == "UT":
+                mp, kp, csp, srows = static
+
+                def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
+                       srows=srows):
+                    Lx, Ux = carry
+                    kw, mr, ss, hs, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    with jax.default_matmul_precision(upd_prec):
+                        EL, EU = B.update_rows_lu_t(
+                            Lx, Ux, kw, mr, ss, hs, cpos, mp, kp, csp)
+                    Lx = B.extend_add_slab(Lx, lo[0], eai, erb, erl, EL,
+                                           srows, csp)
+                    Ux = B.extend_add_slab(Ux, lo[0], eai, erb, erl, EU,
+                                           srows, csp)
                     return Lx, Ux
             elif kind == "UC":
                 mp, kp, csp, srows = static

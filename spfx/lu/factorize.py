@@ -265,7 +265,12 @@ class LU:
                 for lp in self.plan.levels:
                     with jax.default_matmul_precision(upd_prec):
                         for ub in lp.updates:
-                            if isinstance(ub, UpdateBucketC):
+                            if isinstance(ub, UpdateBucketC) \
+                                    and ub.head_start is not None:
+                                Lx, Ux = blocks.apply_updates_lu_t(
+                                    Lx, Ux, *ub.dev(), mp=ub.mp, kp=ub.kp,
+                                    csp=ub.csp, srows=ub.slab_rows)
+                            elif isinstance(ub, UpdateBucketC):
                                 Lx, Ux = blocks.apply_updates_lu_c(
                                     Lx, Ux, *ub.dev(), mp=ub.mp, kp=ub.kp,
                                     csp=ub.csp, srows=ub.slab_rows)

@@ -73,6 +73,18 @@ def _pad4(x: int, lo: int) -> int:
     return p
 
 
+def _pad_rows(x: int, lo: int, grain: int) -> int:
+    """Row-count padding: pow2 up to ``grain``, then multiples of it.
+    Caps the pow2 overshoot on tall panels (2336 -> 2560, not 4096) —
+    the tallest panel's padded region sets the engine-wide per-step
+    region size smax, so the overshoot is paid on EVERY scan step."""
+    if x <= 0:
+        return 0
+    if x <= grain:
+        return _pad2(x, lo)
+    return -(-x // grain) * grain
+
+
 @dataclasses.dataclass
 class PanelBucket:
     """A batch of same-padded-shape supernode panels at one level."""
@@ -193,14 +205,23 @@ class UpdateBucketC:
     ea_idx: np.ndarray = None   # (ngroups*EA_G,) int32 flat E row, 0 pad
     ea_rbase: np.ndarray = None  # (ngroups,) int32 window base slab row
     ea_rel: np.ndarray = None   # (ngroups, EA_G) int32 row - rbase, -1 pad
+    # M-TILED form (round 5, config.update_tile): each batch item is a tile
+    # of <= mp source rows of one task; head_start points at the task's
+    # leading (N-block) rows, gathered separately as a (csp, kp) window
+    # (N <= width(target) <= csp always). tgt_cpos is then (B, csp).
+    # head_start is None for round-4 pow4-M buckets (N block = leading rows
+    # of the tile's own window).
+    head_start: np.ndarray = None  # (B,) int32 flat start of task head, -1
     _dev: tuple = None
 
     def dev(self):
         if self._dev is None:
             import jax.numpy as jnp
-            self._dev = tuple(jnp.asarray(a) for a in (
-                self.kw, self.mrows, self.src_start, self.slab_lo,
-                self.ea_idx, self.ea_rbase, self.ea_rel, self.tgt_cpos))
+            arrs = (self.kw, self.mrows, self.src_start, self.slab_lo,
+                    self.ea_idx, self.ea_rbase, self.ea_rel, self.tgt_cpos)
+            if self.head_start is not None:
+                arrs = arrs[:3] + (self.head_start,) + arrs[3:]
+            self._dev = tuple(jnp.asarray(a) for a in arrs)
         return self._dev
 
     @property
@@ -234,6 +255,10 @@ class FactorPlan:
     below_shift: np.ndarray | None = None  # (nsuper,) storage-row shift of
     #                                        below rows (uniform layout);
     #                                        zeros for rowwin
+    rows_sn: np.ndarray | None = None  # (nsuper,) padded storage rows per
+    #                                    panel (uniform layout): the layout
+    #                                    of record for engines that size
+    #                                    per-panel extents (spfx.stream)
 
     @property
     def storage(self) -> int:
@@ -310,7 +335,13 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
     W = np.diff(sym.sn_start).astype(np.int64)
     R = np.diff(sym.sn_ptr).astype(np.int64)
     lo = config.pad_min
-    if contig or config.stride_padding:
+    if contig:
+        # stride floor collapses tiny source-stride (kp) update classes;
+        # the padded tail columns hold exact zeros like any other padding
+        smin = max(lo, int(getattr(config, "stride_min", 0) or 0))
+        Wp = np.asarray([max(_pad2(int(w), lo), smin) for w in W],
+                        dtype=np.int64)
+    elif config.stride_padding:
         Wp = np.asarray([_pad2(int(w), lo) for w in W], dtype=np.int64)
     else:
         Wp = W.copy()     # stride == true width; windows overlap row tails
@@ -329,7 +360,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         # at VMEM). Diag block lives at rows [0, cp), below block at rows
         # [cp, cp + nb); rows [w, cp) and [cp + nb, cp + rbp) are zero
         # padding.
-        RBp = np.asarray([_pad2(int(b), clo) if b else 0 for b in R - W],
+        grain = max(clo, int(getattr(config, "row_grain", 512) or 512))
+        RBp = np.asarray([_pad_rows(int(b), clo, grain) for b in R - W],
                          dtype=np.int64)
         rows_sn = Wp + RBp
         grp = sn_group if sn_group is not None \
@@ -474,14 +506,76 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
         itemsize = np.dtype(config.dtype).itemsize
         srows_by_csp = {}
         if contig:
+            grain = max(clo, int(getattr(config, "row_grain", 512) or 512))
             for c in np.unique(Wp):
                 big = int(rows_sn[Wp == c].max())
                 lane_bytes = max(128, int(c)) * itemsize
-                srows_by_csp[int(c)] = pad_pow2(
-                    max(slab_bytes // lane_bytes, big), 8)
+                srows_by_csp[int(c)] = _pad_rows(
+                    max(slab_bytes // lane_bytes, big), 8, grain)
         keep_upd = sn_filter[t_d] if sn_filter is not None \
             else np.ones(len(t_d), dtype=bool)
-        for lv in range(nlev):
+        # ---- M-TILED update classes (round 5, config.update_tile) -------
+        # Cut every task's source rows into tiles of <= update_tile rows
+        # (short tasks form an update_small class), so the class key is
+        # (mp in {small, tile}, kp, csp) — the pow4 M ladder disappears and
+        # the (level x class) pair count (the scan's step-count floor)
+        # drops ~1.75x at 48^3. The task's N block (leading N source rows,
+        # N <= target width <= csp) is gathered separately per tile via
+        # head_start.
+        tiled = contig and int(getattr(config, "update_tile", 0) or 0) > 0
+        if tiled and len(d_ent):
+            TL = int(config.update_tile)
+            TS = max(8, min(int(config.update_small or TL), TL))
+            mp_task = np.where(t_M <= TS, TS, TL).astype(np.int64)
+            ntile = np.where(t_M > TL, -(-t_M // TL), 1).astype(np.int64)
+            tcsum = np.concatenate([[0], np.cumsum(ntile)])
+            tid = np.repeat(np.arange(len(t_d), dtype=np.int64), ntile)
+            tix = np.arange(tcsum[-1], dtype=np.int64) - tcsum[tid]
+            u_lpos = t_lpos[tid] + tix * TL
+            u_M = np.minimum(t_M[tid] - tix * TL, mp_task[tid])
+            keys_all = np.stack([mp_task[tid], Wp[t_d[tid]],
+                                 Wp[t_s[tid]]], axis=1)
+            for lv in range(nlev):
+                in_lv = np.flatnonzero((t_level[tid] == lv)
+                                       & keep_upd[tid])
+                if not len(in_lv):
+                    continue
+                keys = keys_all[in_lv]
+                for key in np.unique(keys, axis=0):
+                    mp, kp, csp = (int(x) for x in key)
+                    sel = in_lv[(keys == key).all(axis=1)]
+                    qb = _batch_quantum(
+                        len(sel), mp * kp + csp * kp + 2 * mp * csp,
+                        config.max_gather_elems, config.batch_floor_elems,
+                        config.max_pad_ratio)
+                    slack = max(slack, mp * kp, csp * kp)
+                    sel = sel[np.argsort(offsets[t_s[tid[sel]]],
+                                         kind="stable")]
+                    t_off = offsets[t_s[tid[sel]]]
+                    t_end = t_off + rows_sn[t_s[tid[sel]]] \
+                        * Wp[t_s[tid[sel]]]
+                    srows = srows_by_csp[csp]
+                    cap = srows * csp
+                    region_max = max(region_max, cap)
+                    chunks = []
+                    i0 = 0
+                    for i in range(1, len(sel)):
+                        if i - i0 >= qb or t_end[i] - t_off[i0] > cap:
+                            chunks.append((i0, i))
+                            i0 = i
+                    chunks.append((i0, len(sel)))
+                    for a, b in chunks:
+                        ub = _make_update_bucket_t(
+                            sel[a:b], tid, t_d, t_s, t_lpos, t_N, t_K,
+                            u_lpos, u_M, Wp, offsets, first_col, sym,
+                            rowpos, mp, kp, csp, qb, srows, W,
+                            below_shift, idx_dtype)
+                        levels[lv].updates.append(ub)
+                        total_flops += ub.flops
+                        need = int(ub.slab_lo[0]) + srows * csp - xsize
+                        if need > slack:
+                            slack = need
+        for lv in range(nlev) if not tiled else ():
             in_lv = np.flatnonzero((t_level == lv) & keep_upd)
             if not len(in_lv):
                 continue
@@ -564,7 +658,8 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                       assembly_idx=assembly_idx, offsets=offsets,
                       flops=(2.0 if lu else 1.0) * total_flops,
                       assembly_idx_u=assembly_idx_u, strides=Wp,
-                      slack=slack, below_shift=below_shift)
+                      slack=slack, below_shift=below_shift,
+                      rows_sn=np.asarray(rows_sn, dtype=np.int64))
 
 
 def _pad_batch(arrs, B, Bq, fills):
@@ -669,8 +764,20 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     arrs = _pad_batch([t_K[sel], M, src_start, tgt_lrow, tgt_cpos],
                       B, qb, [0, 0, -1, -1, -1])
     kw_a, m_a, ss_a, lr_a, cp_a = (a.astype(idx_dtype) for a in arrs)
-    # windowed one-hot extend-add groups: valid (E row, slab row) pairs
-    # sorted by slab row, greedily cut at EA_G pairs / W-row span
+    ea_idx, ea_rbase, ea_rel = _ea_group_tables(lr_a, srows)
+    sds = _pad_batch([d], B, qb, [-1])[0].astype(np.int64)
+    ub = UpdateBucketC(kw_a, m_a, ss_a,
+                       np.asarray([slab_lo], idx_dtype), lr_a, cp_a,
+                       mp, kp, csp, int(srows), flops,
+                       ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel)
+    ub.sds = sds
+    return ub
+
+
+def _ea_group_tables(lr_a, srows):
+    """Windowed one-hot extend-add groups from a (B, mp) slab-row table:
+    valid (E row, slab row) pairs sorted by slab row, greedily cut at EA_G
+    pairs / one ea_window span (shared by the _c and _t bucket makers)."""
     flat = lr_a.reshape(-1)
     v = np.flatnonzero(flat >= 0)
     order = np.argsort(flat[v], kind="stable")
@@ -682,7 +789,6 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     while i < len(rs):
         rbase = rs[i]
         j = min(i + EA_G, len(rs))
-        # targets are sorted: find the span limit within this block
         j = i + int(np.searchsorted(rs[i:j], rbase + Wn))
         i = max(j, i + 1)
         cuts.append(i)
@@ -696,11 +802,53 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
         ea_rbase[g] = rb
         ea_idx[g * EA_G: g * EA_G + (b2 - a)] = sv[a:b2]
         ea_rel[g, : b2 - a] = rs[a:b2] - rb
+    return ea_idx, ea_rbase, ea_rel
+
+
+def _make_update_bucket_t(sel, tid, t_d, t_s, t_lpos, t_N, t_K,
+                          u_lpos, u_M, Wp, offsets, first_col, sym, rowpos,
+                          mp, kp, csp, qb, srows, W, bshift,
+                          idx_dtype=np.int32):
+    """M-tiled contig update bucket: each batch item is one (<= mp)-row
+    source tile of a task (kp == Wp[d], csp == Wp[s]); the task's N block
+    (its leading N source rows, N <= width(s) <= csp) is gathered
+    separately via head_start as a (csp, kp) window shared by the task's
+    tiles. Slab extend-add target exactly as _make_update_bucket_c."""
+    B = len(sel)
+    tk = tid[sel]
+    d, s = t_d[tk], t_s[tk]
+    lpos, M = u_lpos[sel], u_M[sel]
+    hl, N = t_lpos[tk], t_N[tk]
+    src_start = offsets[d] + (lpos + bshift[d]) * Wp[d]
+    head_start = offsets[d] + (hl + bshift[d]) * Wp[d]
+    slab_lo = int(offsets[s[0]])
+    mi = np.arange(mp, dtype=np.int64)[None, :]
+    vm = mi < M[:, None]
+    pat = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + mi,
+                     len(sym.sn_rows) - 1)
+    grow = sym.sn_rows[pat]
+    tpos = rowpos(np.broadcast_to(s[:, None], grow.shape).ravel(),
+                  grow.ravel()).reshape(grow.shape)
+    spos = tpos + np.where(tpos >= W[s][:, None], bshift[s][:, None], 0)
+    base_row = (offsets[s] - slab_lo) // csp
+    tgt_lrow = np.where(vm & (tpos >= 0), base_row[:, None] + spos, -1)
+    ni = np.arange(csp, dtype=np.int64)[None, :]
+    vn = ni < N[:, None]
+    patn = np.minimum(sym.sn_ptr[d][:, None] + hl[:, None] + ni,
+                      len(sym.sn_rows) - 1)
+    q = sym.sn_rows[patn]
+    tgt_cpos = np.where(vn, q - first_col[s][:, None], -1)
+    flops = float(2.0 * (M.astype(float) * N * t_K[tk]).sum())
+    arrs = _pad_batch([t_K[tk], M, src_start, head_start, tgt_lrow,
+                       tgt_cpos], B, qb, [0, 0, -1, -1, -1, -1])
+    kw_a, m_a, ss_a, hs_a, lr_a, cp_a = (a.astype(idx_dtype) for a in arrs)
+    ea_idx, ea_rbase, ea_rel = _ea_group_tables(lr_a, srows)
     sds = _pad_batch([d], B, qb, [-1])[0].astype(np.int64)
     ub = UpdateBucketC(kw_a, m_a, ss_a,
                        np.asarray([slab_lo], idx_dtype), lr_a, cp_a,
                        mp, kp, csp, int(srows), flops,
-                       ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel)
+                       ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel,
+                       head_start=hs_a)
     ub.sds = sds
     return ub
 

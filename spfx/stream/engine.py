@@ -118,17 +118,12 @@ class StreamingCholesky:
         self.analyze_time = time.perf_counter() - t0
         t0 = time.perf_counter()
         self.plan = build_plan(self.sym, A, config, idx_dtype=np.int64)
-        offsets = self.plan.offsets
-        W = np.diff(self.sym.sn_start)
-        Wp = self.plan.strides
-        rows = np.diff(self.sym.sn_ptr)
-        # per-supernode element extent in the uniform layout
-        from spfx.utils.config import pad_pow2
-        RBp = np.asarray([pad_pow2(int(b), max(config.pad_min,
-                                               config.class_min))
-                          if b else 0 for b in rows - W])
-        self.rows_elems = (Wp + RBp) * Wp
+        # per-supernode element extent in the uniform layout (the plan's
+        # own rows_sn is the layout of record — recomputing it here would
+        # silently drift from build_plan's padding rules)
+        self.rows_elems = self.plan.rows_sn * self.plan.strides
         self._build_stages()
+        self._runners = {}        # stage index -> compiled _StageRunner
         self.plan_time = time.perf_counter() - t0
 
     # ---------------- stage construction --------------------------------
@@ -188,18 +183,24 @@ class StreamingCholesky:
             # source windows: own-region descendants shift with the region;
             # packed descendants map to their packed offset
             d = ub.sds
-            valid = (d >= 0) & (ub.src_start >= 0)
-            rel = ub.src_start.astype(np.int64) - \
-                np.where(valid, offsets[np.maximum(d, 0)], 0)
-            in_own = np.isin(d, own_sns) & valid
-            in_src = np.isin(d, srcs) & valid
-            new_src = np.where(
-                in_own, ub.src_start.astype(np.int64) + own_off,
-                np.where(in_src, src_base[np.maximum(d, 0)] + rel, -1))
-            assert (valid <= (in_own | in_src)).all(), \
-                "update source panel missing from stage inputs"
+
+            def remap(starts):
+                valid = (d >= 0) & (starts >= 0)
+                rel = starts.astype(np.int64) - \
+                    np.where(valid, offsets[np.maximum(d, 0)], 0)
+                in_own = np.isin(d, own_sns) & valid
+                in_src = np.isin(d, srcs) & valid
+                assert (valid <= (in_own | in_src)).all(), \
+                    "update source panel missing from stage inputs"
+                return np.where(
+                    in_own, starts.astype(np.int64) + own_off,
+                    np.where(in_src, src_base[np.maximum(d, 0)] + rel,
+                             -1)).astype(np.int32)
+
             nb = dataclasses.replace(
-                ub, src_start=new_src.astype(np.int32),
+                ub, src_start=remap(ub.src_start),
+                head_start=(None if ub.head_start is None
+                            else remap(ub.head_start)),
                 slab_lo=(ub.slab_lo + own_off).astype(np.int32),
                 _dev=None)
             nb.sds = ub.sds
@@ -215,22 +216,28 @@ class StreamingCholesky:
         Ap = A[self.sym.perm][:, self.sym.perm]
         low = sp.tril(Ap).tocsc()
         host[plan.assembly_idx] = low.data.astype(dtype)
-        from spfx.kernels.mega import MegaRunner
-        for st in self.stages:
-            stage_plan = FactorPlan(
-                n=plan.n, xsize=st.storage - plan.slack, levels=st.levels,
-                assembly_idx=np.zeros(0, np.int64),
-                offsets=plan.offsets, flops=0.0, strides=plan.strides,
-                slack=plan.slack)
+        for si, st in enumerate(self.stages):
             buf = np.zeros(st.storage, dtype=dtype)
+            base = np.concatenate([[0], np.cumsum(st.src_len)])
             for k in range(len(st.src_sns)):
-                b = int(np.concatenate([[0],
-                                        np.cumsum(st.src_len)])[k])
+                b = int(base[k])
                 buf[b:b + st.src_len[k]] = \
                     host[st.src_lo[k]:st.src_lo[k] + st.src_len[k]]
             buf[st.packed:st.packed + (st.hi - st.lo)] = \
                 host[st.lo:st.hi]
-            runner = _StageRunner(stage_plan, self.config)
+            # stage programs are compiled once and reused across
+            # factorize() calls (same-pattern refactorization pays zero
+            # retrace/recompile, like the in-core engines)
+            runner = self._runners.get(si)
+            if runner is None:
+                stage_plan = FactorPlan(
+                    n=plan.n, xsize=st.storage - plan.slack,
+                    levels=st.levels,
+                    assembly_idx=np.zeros(0, np.int64),
+                    offsets=plan.offsets, flops=0.0, strides=plan.strides,
+                    slack=plan.slack)
+                runner = self._runners[si] = _StageRunner(stage_plan,
+                                                          self.config)
             out = runner.run(jnp.asarray(buf))
             res = np.asarray(out)
             host[st.lo:st.hi] = res[st.packed:st.packed + (st.hi - st.lo)]

@@ -52,11 +52,32 @@ class Config:
     class_granularity: str = "pow4"   # update shape-class padding: "pow4"
     #                                   (fewer classes -> fewer calls) or
     #                                   "pow2" (less padding waste)
-    class_min: int = 8                # smallest shape class: raising it to
-    #                                   32 collapses the tiny-task classes
-    #                                   (near-zero FLOPs, ~40% of all calls
-    #                                   at 48^3) into one, trading dead
-    #                                   padded lanes for dispatches
+    class_min: int = 32               # smallest shape class: 32 collapses
+    #                                   the tiny-task classes (near-zero
+    #                                   FLOPs, ~40% of all calls at 48^3)
+    #                                   into one, trading dead padded lanes
+    #                                   for dispatches (measured best r4)
+    # ---- update tiling (round 5) ----------------------------------------
+    # M-tiled update tasks: every descendant update task is cut into source
+    # row tiles of at most ``update_tile`` rows (tasks with M <=
+    # ``update_small`` form their own small class), so the update shape
+    # class is (mp in {update_small, update_tile}, kp, csp) — the tall-M
+    # pow4 ladder disappears. Measured at 48^3: (level x class) pairs drop
+    # 1808 -> ~1030, which bounds the mega scan's step count (each step
+    # pays ~10us base + 2 x smax region traffic regardless of work).
+    # update_tile = 0 restores the round-4 pow4 M classes.
+    update_tile: int = 128
+    update_small: int = 32
+    # Minimum storage stride (contig layout): padding every supernode panel
+    # to at least this stride collapses the tiny source-stride (kp) classes
+    # (kp=8 alone is ~22k tasks at 48^3) into one, cutting (level x class)
+    # pairs ~1.4x for ~25% more storage.
+    stride_min: int = 32
+    # Row-count padding grain: below-row counts and slab heights are padded
+    # to powers of two up to this grain, then to multiples of it. Caps the
+    # pow2 overshoot on tall panels (a 2336-row panel pads to 2560, not
+    # 4096), which sets the engine's global per-step region size smax.
+    row_grain: int = 512
     # Memory layout of the windowed gathers/scatters:
     # - "contig" (default): panel storage stride == pow2-padded width, so a
     #   panel's diag block, its below block, and every update task's source

@@ -139,7 +139,8 @@ def test_class_min_coarse_classes():
     from spfx.chol.factorize import Cholesky
     A = generate.laplacian_3d(7)
     b = synth_rhs(A)
-    fine = Cholesky(A, Config(dtype="float64", ordering="nd"))
+    fine = Cholesky(A, Config(dtype="float64", ordering="nd", class_min=8,
+                              stride_min=0))
     coarse = Cholesky(A, Config(dtype="float64", ordering="nd",
                                 class_min=32))
     ncalls = lambda c: sum(len(l.panels) + len(l.updates)

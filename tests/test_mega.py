@@ -76,3 +76,53 @@ def test_mega_complex():
     f = Cholesky(A, cfg).factorize(A)
     x = f.solve(b)
     assert scaled_residual(A, x, b) < 1e-12
+
+
+def test_tiled_updates_match_legacy():
+    """The round-5 M-tiled update classes (config.update_tile) must produce
+    the same factorization as the round-4 pow4-M classes on both engines,
+    and the tiled plan must not have MORE (class, chunk) steps."""
+    A = generate.laplacian_3d(9)
+    b = synth_rhs(A)
+    base = dict(dtype="float64", ordering="nd", solve_backend="device")
+    legacy = Cholesky(A, Config(**base, update_tile=0, engine="mega"))
+    tiled = Cholesky(A, Config(**base, update_tile=128, engine="mega"))
+    nsteps = lambda c: sum(len(l.panels) + len(l.updates)
+                           for l in c.plan.levels)
+    assert nsteps(tiled) <= nsteps(legacy)
+    # tiles preserve the true flop count exactly (tiling splits tasks, it
+    # does not pad them)
+    assert tiled.plan.flops == pytest.approx(legacy.plan.flops)
+    xl = legacy.factorize(A).solve(b, refine=0)
+    xt = tiled.factorize(A).solve(b, refine=0)
+    assert scaled_residual(A, xt, b) < 1e-12
+    np.testing.assert_allclose(xt, xl, rtol=1e-9, atol=1e-9)
+
+
+def test_tiled_updates_match_legacy_lu():
+    A = _unsym(500, seed=7)
+    b = synth_rhs(A)
+    base = dict(dtype="float64", ordering="nd", solve_backend="device")
+    xl = LU(A, Config(**base, update_tile=0)).factorize(A).solve(b, refine=0)
+    xt = LU(A, Config(**base, update_tile=128)).factorize(A) \
+        .solve(b, refine=0)
+    assert scaled_residual(A, xt, b) < 1e-12
+    np.testing.assert_allclose(xt, xl, rtol=1e-9, atol=1e-9)
+
+
+def test_tiled_tall_task_tiles():
+    """A task with M > update_tile must split into multiple tiles that
+    reproduce the untiled update exactly (exercises head_start gathers)."""
+    A = generate.laplacian_3d(8)
+    base = dict(dtype="float64", ordering="nd", solve_backend="device")
+    tiny = Cholesky(A, Config(**base, update_tile=16, update_small=8))
+    ref = Cholesky(A, Config(**base, update_tile=0))
+    has_multi = any(
+        ub.head_start is not None and len(np.unique(
+            ub.head_start[ub.head_start >= 0])) < (ub.head_start >= 0).sum()
+        for lp in tiny.plan.levels for ub in lp.updates)
+    assert has_multi, "no task split across tiles at update_tile=16"
+    b = synth_rhs(A)
+    xt = tiny.factorize(A).solve(b, refine=0)
+    xr = ref.factorize(A).solve(b, refine=0)
+    np.testing.assert_allclose(xt, xr, rtol=1e-9, atol=1e-9)
