@@ -65,6 +65,15 @@ def strategy_chunked(A, B, chunk: int = 1024):
     return jax.lax.map(body, (Ac, Bc))
 
 
+@jax.jit
+def strategy_pallas(A, B):
+    """Hand-written Pallas kernel (the production panel-update kernel) —
+    the TPU analogue of the reference's custom batched CUDA kernels
+    (strategy 3, Misc/cublas/cublas_demo.c:236 -> cublas_demo_kernel.cu)."""
+    from spfx.kernels import pallas_blocks
+    return pallas_blocks.syrk_gemm_batched(A, B)
+
+
 def flops() -> float:
     return BATCH * (2.0 * N * N * K + 2.0 * M * N * K)
 
@@ -81,6 +90,13 @@ def main():
     results["batched_single_call"] = fl / t / 1e9
     t = _time(strategy_chunked, A, B)
     results["chunked_1024"] = fl / t / 1e9
+    # custom-kernel strategy (ref strategy 3): skipped only where Pallas
+    # cannot run (non-TPU backends without interpret mode)
+    try:
+        t = _time(strategy_pallas, A, B)
+        results["pallas_custom_kernel"] = fl / t / 1e9
+    except Exception as e:
+        print(f"pallas strategy unavailable: {e!r}", file=sys.stderr)
     # single-call loop on a slice (dispatch-bound; extrapolated like the
     # reference's strategy-1 loop)
     sub = 256

@@ -413,8 +413,9 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
       }
     }
   }
-  // expand supervariables: none tracked beyond nv=1, so perm holds each
-  // eliminated pivot once. Fill remaining (isolated) in index order.
+  // Supervariable members (nv > 1) were already emitted inline via their
+  // svnext chains when their representative pivoted, so perm holds each
+  // eliminated column once. Fill remaining (isolated) in index order.
   {
     std::vector<int8_t> seen(n, 0);
     int64_t kk = 0;

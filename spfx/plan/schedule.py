@@ -662,6 +662,77 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                       rows_sn=np.asarray(rows_sn, dtype=np.int64))
 
 
+def plan_stats(plan: FactorPlan) -> dict:
+    """Schedule-shape counters for one plan — the numbers that steer the
+    padding vs dispatch trade-off (the TPU-era analogue of the reference's
+    PRINT_DEBUG GPU cache-hit counters, Cholesky/Source/SparseFrame.c:
+    3012-3013). Printed by the engines under Config.profile."""
+    classes = {}
+    steps = upd_steps = pan_steps = 0
+    true_fl = padded_fl = 0.0
+    tasks = dead = 0
+    region_max = gather = 0
+    for lp in plan.levels:
+        for ub in lp.updates:
+            steps += 1
+            upd_steps += 1
+            B = len(ub.kw)
+            tasks += B
+            dead += int((np.asarray(ub.kw) == 0).sum())
+            true_fl += ub.flops
+            if isinstance(ub, UpdateBucketC):
+                np_ = ub.tgt_cpos.shape[1]
+                key = ("UT" if ub.head_start is not None else "UC",
+                       ub.mp, ub.kp, ub.csp, ub.slab_rows)
+                padded_fl += 2.0 * B * ub.mp * np_ * (ub.kp + ub.csp)
+                gather += B * (ub.mp * ub.kp
+                               + (ub.csp * ub.kp
+                                  if ub.head_start is not None else 0))
+                region_max = max(region_max, ub.slab_rows * ub.csp)
+            else:
+                np_ = ub.tgt_cpos.shape[1]
+                mp = ub.src_row_start.shape[1]
+                key = ("U", mp, ub.kp, ub.csp)
+                padded_fl += 2.0 * B * mp * np_ * (ub.kp + ub.csp)
+                gather += B * mp * ub.kp
+            classes[key] = classes.get(key, 0) + 1
+        for pb in lp.panels:
+            steps += 1
+            pan_steps += 1
+            B = len(pb.widths)
+            tasks += B
+            dead += int((np.asarray(pb.widths) == 0).sum())
+            true_fl += pb.flops
+            if isinstance(pb, PanelBucketC):
+                key = ("PC", pb.cp, pb.rbp)
+                padded_fl += B * (pb.cp ** 3 / 3.0 + pb.rbp * pb.cp ** 2)
+                region_max = max(region_max,
+                                 B * (pb.cp + pb.rbp) * pb.cp)
+            else:
+                cp = pb.diag_row_start.shape[1]
+                rbp = pb.below_row_start.shape[1]
+                key = ("P", cp, rbp)
+                padded_fl += B * (cp ** 3 / 3.0 + rbp * cp ** 2)
+            classes[key] = classes.get(key, 0) + 1
+    return {
+        "steps": steps, "update_steps": upd_steps,
+        "panel_steps": pan_steps, "levels": len(plan.levels),
+        "classes": len(classes),
+        "tasks": tasks,
+        "dead_task_frac": round(dead / max(tasks, 1), 4),
+        "true_gflops": round(true_fl / 1e9, 3),
+        "padded_gflops": round(padded_fl / 1e9, 3),
+        "padded_flop_ratio": round(padded_fl / max(true_fl, 1.0), 2),
+        "gather_mb": round(gather * 4 / 1e6, 1),
+        "region_max_mb": round(region_max * 4 / 1e6, 2),
+        "storage_mb": round(plan.storage * 4 / 1e6, 1),
+        "step_region_traffic_gb": round(
+            steps * region_max * 2 * 4 / 1e9, 2),
+        "class_census": sorted(classes.items(),
+                               key=lambda kv: -kv[1])[:12],
+    }
+
+
 def _pad_batch(arrs, B, Bq, fills):
     if Bq == B:
         return arrs

@@ -1,3 +1,3 @@
-from spfx.stream.engine import StreamingCholesky
+from spfx.stream.engine import StreamingCholesky, StreamingLU
 
-__all__ = ["StreamingCholesky"]
+__all__ = ["StreamingCholesky", "StreamingLU"]

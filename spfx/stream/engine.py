@@ -104,7 +104,15 @@ def _stage_sources(plan, level_ids, own_sns):
 class StreamingCholesky:
     """Out-of-core supernodal Cholesky: host-resident factor, stage-wise
     device execution. API mirrors spfx.chol.factorize.Cholesky; solves use
-    the host backend on the downloaded factor."""
+    the host backend on the downloaded factor.
+
+    The LU line (StreamingLU) shares every mechanism — the reference's
+    stage machinery likewise serves both lines (LU/Source/
+    SparseFrame.c:1647-2231 builds the same ST_* tables): the only deltas
+    are twin host/device arrays, the U^T assembly scatter, and the
+    lu=True branch set in the stage runner."""
+
+    lu = False
 
     def __init__(self, A: sp.spmatrix, config: Config = DEFAULT,
                  stage_elems: int = 1 << 27, sym=None):
@@ -114,10 +122,12 @@ class StreamingCholesky:
         self.config = config
         self.stage_elems = int(stage_elems)
         t0 = time.perf_counter()
-        self.sym = sym if sym is not None else analyze(A, config)
+        self.sym = sym if sym is not None else analyze(
+            A, config, symmetrize=self.lu)
         self.analyze_time = time.perf_counter() - t0
         t0 = time.perf_counter()
-        self.plan = build_plan(self.sym, A, config, idx_dtype=np.int64)
+        self.plan = build_plan(self.sym, A, config, lu=self.lu,
+                               idx_dtype=np.int64)
         # per-supernode element extent in the uniform layout (the plan's
         # own rows_sn is the layout of record — recomputing it here would
         # silently drift from build_plan's padding rules)
@@ -208,23 +218,27 @@ class StreamingCholesky:
         return LevelPlan(panels, updates)
 
     # ---------------- execution -----------------------------------------
-    def factorize(self, A: sp.spmatrix) -> CholeskyFactor:
+    def factorize(self, A: sp.spmatrix):
         A = sp.csc_matrix(A)
         dtype = np.dtype(self.config.dtype)
         plan = self.plan
-        host = np.zeros(plan.storage, dtype=dtype)
+        hosts = [np.zeros(plan.storage, dtype=dtype)
+                 for _ in range(2 if self.lu else 1)]
         Ap = A[self.sym.perm][:, self.sym.perm]
-        low = sp.tril(Ap).tocsc()
-        host[plan.assembly_idx] = low.data.astype(dtype)
+        hosts[0][plan.assembly_idx] = sp.tril(Ap).tocsc().data.astype(dtype)
+        if self.lu:
+            hosts[1][plan.assembly_idx_u] = \
+                sp.tril(Ap.T, -1).tocsc().data.astype(dtype)
         for si, st in enumerate(self.stages):
-            buf = np.zeros(st.storage, dtype=dtype)
+            bufs = [np.zeros(st.storage, dtype=dtype) for _ in hosts]
             base = np.concatenate([[0], np.cumsum(st.src_len)])
-            for k in range(len(st.src_sns)):
-                b = int(base[k])
-                buf[b:b + st.src_len[k]] = \
-                    host[st.src_lo[k]:st.src_lo[k] + st.src_len[k]]
-            buf[st.packed:st.packed + (st.hi - st.lo)] = \
-                host[st.lo:st.hi]
+            for host, buf in zip(hosts, bufs):
+                for k in range(len(st.src_sns)):
+                    b = int(base[k])
+                    buf[b:b + st.src_len[k]] = \
+                        host[st.src_lo[k]:st.src_lo[k] + st.src_len[k]]
+                buf[st.packed:st.packed + (st.hi - st.lo)] = \
+                    host[st.lo:st.hi]
             # stage programs are compiled once and reused across
             # factorize() calls (same-pattern refactorization pays zero
             # retrace/recompile, like the in-core engines)
@@ -236,25 +250,44 @@ class StreamingCholesky:
                     assembly_idx=np.zeros(0, np.int64),
                     offsets=plan.offsets, flops=0.0, strides=plan.strides,
                     slack=plan.slack)
-                runner = self._runners[si] = _StageRunner(stage_plan,
-                                                          self.config)
-            out = runner.run(jnp.asarray(buf))
-            res = np.asarray(out)
-            host[st.lo:st.hi] = res[st.packed:st.packed + (st.hi - st.lo)]
+                runner = self._runners[si] = _StageRunner(
+                    stage_plan, self.config, lu=self.lu)
+            outs = runner.run(*(jnp.asarray(b) for b in bufs))
+            for host, out in zip(hosts, outs):
+                res = np.asarray(out)
+                host[st.lo:st.hi] = \
+                    res[st.packed:st.packed + (st.hi - st.lo)]
         # the factor of record is HOST-resident (it may exceed HBM/int32);
-        # CholeskyFactor's host-solve path reads numpy directly, and its
-        # occasional device paths accept the numpy array as-is
-        f = CholeskyFactor(A, self.sym, self.plan, host, self.config)
-        f._Lh = host
+        # the factor objects' host-solve paths read numpy directly, and
+        # their occasional device paths accept the numpy arrays as-is
+        if self.lu:
+            from spfx.lu.factorize import LUFactor
+            f = LUFactor(A, self.sym, self.plan, hosts[0], hosts[1],
+                         self.config)
+            f._Lh, f._Uh = hosts
+        else:
+            f = CholeskyFactor(A, self.sym, self.plan, hosts[0],
+                               self.config)
+            f._Lh = hosts[0]
         return f
+
+
+class StreamingLU(StreamingCholesky):
+    """Out-of-core unpivoted supernodal LU: twin host-resident L / U^T
+    factors, stage-wise device execution (ref stage partition for the LU
+    line, LU/Source/SparseFrame.c:1647-2231)."""
+
+    lu = True
 
 
 class _StageRunner:
     """One-dispatch scan over a rebased stage's levels (no assembly: the
     stage buffer arrives pre-assembled from the host)."""
 
-    def __init__(self, stage_plan: FactorPlan, config: Config):
+    def __init__(self, stage_plan: FactorPlan, config: Config,
+                 lu: bool = False):
         from spfx.kernels import mega
+        self.lu = lu
         classes, cls_ids, chunk_ids = mega._collect(stage_plan)
         self._steps = (jnp.asarray(cls_ids), jnp.asarray(chunk_ids))
         self._flat, self._layout = mega._flatten_tables(classes)
@@ -264,21 +297,28 @@ class _StageRunner:
         layout = self._layout
 
         @jax.jit
-        def run(L, cls_ids, chunk_ids, *flat):
+        def run(state, cls_ids, chunk_ids, *flat):
             from jax import lax
             tabs = mega._unflatten(layout, flat)
-            brs = mega.make_branches(kinds, tabs, False, fac_prec,
-                                     upd_prec)
+            brs = mega.make_branches(kinds, tabs, lu, fac_prec, upd_prec)
+            if not (brs and len(cls_ids)):
+                return state
+            if lu:
+                def body(carry, xs):
+                    c, i = xs
+                    return lax.switch(c, brs, carry, i), None
+
+                state, _ = lax.scan(body, state, (cls_ids, chunk_ids))
+                return state
 
             def body(L, xs):
                 c, i = xs
                 return lax.switch(c, brs, L, i), None
 
-            if brs and len(cls_ids):
-                L, _ = lax.scan(body, L, (cls_ids, chunk_ids))
-            return L
+            L, _ = lax.scan(body, state[0], (cls_ids, chunk_ids))
+            return (L,)
 
         self._run = run
 
-    def run(self, L):
-        return self._run(L, *self._steps, *self._flat)
+    def run(self, *bufs):
+        return self._run(tuple(bufs), *self._steps, *self._flat)

@@ -73,12 +73,10 @@ def amalgamate(sn_start: np.ndarray, parent: np.ndarray, counts: np.ndarray,
     g_width = (sn_start[1:] - sn_start[:-1]).astype(np.int64)
     first_col = sn_start[:-1]
     last_col = sn_start[1:] - 1
-    g_rows = counts[first_col].copy() + (g_width - 1) * 0  # rows of pattern
-    # rows of a fundamental supernode = counts[first col] + (width-1)?  No:
-    # counts[first] already includes all member columns below it, so pattern
-    # row count = counts[first_col] + 0?  counts[first] counts rows of the
-    # first column only: its struct = {first..} which includes the member
-    # cols and the beyond-rows. So pattern rows == counts[first_col].
+    # pattern row count of a fundamental supernode == counts[first_col]:
+    # the first column's structure already contains the member columns and
+    # every beyond-row (identical below-diagonal structure is what made the
+    # columns one supernode)
     g_rows = counts[first_col].astype(np.int64).copy()
     g_nz = np.zeros(nf, dtype=np.float64)     # true nonzeros in trapezoid
     for s in range(nf):

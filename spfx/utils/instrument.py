@@ -48,6 +48,20 @@ def finish_factorize(ctx, factor, t0: float, arr):
               f"factorize {ctx.factorize_time:.3f}s  "
               f"({ctx.plan.flops / max(ctx.factorize_time, 1e-12) / 1e9:.1f}"
               " GFLOP/s)", file=sys.stderr, flush=True)
+        # schedule-shape counters (once per plan): the numbers that steer
+        # the padding vs dispatch trade-off — ref PRINT_DEBUG analogue
+        # (Cholesky/Source/SparseFrame.c:3012-3013)
+        if not getattr(ctx, "_stats_printed", False):
+            ctx._stats_printed = True
+            from spfx.plan.schedule import plan_stats
+            st = plan_stats(ctx.plan)
+            census = st.pop("class_census")
+            print("[spfx profile] " + "  ".join(
+                f"{k}={v}" for k, v in st.items()),
+                file=sys.stderr, flush=True)
+            print("[spfx profile] top classes (key x chunks): " + "  ".join(
+                f"{k}x{c}" for k, c in census),
+                file=sys.stderr, flush=True)
     if config.validate:
         from spfx.validate import scaled_residual, synth_rhs
         b = synth_rhs(factor.A)

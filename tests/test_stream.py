@@ -62,3 +62,38 @@ def test_int64_plan_tables():
         for ub in lp.updates:
             assert ub.src_start.dtype == np.int64
             assert ub.sds is not None
+
+
+def test_streaming_lu_matches_incore():
+    """StreamingLU must match the in-core LU bit-for-bit across a
+    multi-stage split (ref LU stage partition,
+    LU/Source/SparseFrame.c:1647-2231)."""
+    from spfx.lu.factorize import LU
+    from spfx.stream import StreamingLU
+    rng = np.random.default_rng(11)
+    import scipy.sparse as sp
+    n = 500
+    B = sp.random(n, n, density=0.02, random_state=11).tocsc()
+    A = sp.csc_matrix(B + sp.diags(np.abs(B).sum(axis=1).A1 + 1.0))
+    st = StreamingLU(A, CFG, stage_elems=1 << 14)
+    assert len(st.stages) > 1, "cap too big: nothing streamed"
+    f = st.factorize(A)
+    ref = LU(A, CFG).factorize(A)
+    np.testing.assert_allclose(np.asarray(f.Lx), np.asarray(ref.Lx),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f.Ux), np.asarray(ref.Ux),
+                               rtol=1e-12, atol=1e-12)
+    b = synth_rhs(A)
+    x = f.solve(b)
+    assert scaled_residual(A, x, b) < 1e-12
+
+
+def test_streaming_lu_poisson_residual():
+    from spfx.stream import StreamingLU
+    A = generate.laplacian_3d(6)
+    st = StreamingLU(A, CFG, stage_elems=1 << 15)
+    assert len(st.stages) > 1
+    f = st.factorize(A)
+    b = synth_rhs(A)
+    x = f.solve(b)
+    assert scaled_residual(A, x, b) < 1e-12
