@@ -129,8 +129,8 @@ def build_ctx(A, kind: str):
 
     config = Config(
         dtype="float32", ordering="nd", matmul_precision="highest",
-        engine="mega",
-        class_min=int(os.environ.get("SPFX_CLASS_MIN", "8")),
+        engine=os.environ.get("SPFX_BENCH_ENGINE", "mega"),
+        class_min=int(os.environ.get("SPFX_CLASS_MIN", "32")),
         update_precision=os.environ.get("SPFX_UPDATE_PRECISION") or None)
     if kind == "lu":
         from spfx.lu.factorize import LU as Ctx
@@ -214,7 +214,8 @@ def main():
     t0 = time.perf_counter()
     out = runner.run_repeat(1, *vals)
     sync_sum(out[0] if kind == "lu" else out)
-    record(time.perf_counter() - t0, "single-shot incl dispatch+fetch")
+    single_shot = time.perf_counter() - t0
+    record(single_shot, "single-shot incl dispatch+fetch")
     emit()
 
     # now the roofline (defines vs_baseline precisely; its failure or hang
@@ -234,7 +235,13 @@ def main():
             o = runner.run_repeat(r, *vals)
             sync_sum(o[0] if kind == "lu" else o)
             t[r] = time.perf_counter() - t0
-        return max(t[1 + reps] - t[1], 1e-9) / reps, t[1 + reps] + t[1]
+        return (t[1 + reps] - t[1]) / reps, t[1 + reps] + t[1]
+
+    # sanity floor: a contended/glitched sample can time the two rep counts
+    # inverted (dt <= 0), which would poison `best` with a nonphysical
+    # near-zero per-factorize (observed: a 1.6e11 GFLOP/s record). Any
+    # sample below 5% of the single-shot time is discarded as noise.
+    floor = 0.05 * single_shot
 
     best = float("inf")
     i = 0
@@ -248,6 +255,11 @@ def main():
             log(f"slope sample {i} FAILED ({e!r}); "
                 "keeping best-so-far result")
             break
+        if dt <= floor:
+            log(f"slope sample {i}: {dt:.4f}s/factorize below sanity floor "
+                f"{floor:.4f}s — discarded")
+            i += 1
+            continue
         best = min(best, dt)
         log(f"slope sample {i}: {dt:.3f}s/factorize "
             f"(best {best:.3f}, sample cost {cost:.1f}s, "

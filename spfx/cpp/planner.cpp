@@ -140,9 +140,33 @@ void spfx_sn_pattern_fill(int64_t n, const int64_t* indptr,
 // re-approximated with the AMD bound. Indistinguishable variables are merged
 // by adjacency hashing (mass elimination).
 // ---------------------------------------------------------------------------
-int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
-                 int64_t* perm) {
+// Quotient-graph approximate minimum degree, optionally CONSTRAINED
+// (cons != nullptr): cons[v] is the constraint class of column v; classes
+// are eliminated in ascending order and min-degree selection runs within
+// the active class only (ref camd_l2 usage, Cholesky/Source/
+// SparseFrame.c:777-862). Supervariable merging is restricted to equal
+// classes so mass elimination never crosses a class boundary.
+static int64_t amd_impl(int64_t n, const int64_t* indptr,
+                        const int32_t* indices, const int64_t* cons,
+                        int64_t* perm) {
   if (n == 0) return 0;
+  // constraint classes: per-class populations + vertex lists for O(n)
+  // total class-advance work
+  int64_t ncls = 1, cc = 0;
+  std::vector<int64_t> remaining(1, n), cls_ptr, cls_vert;
+  if (cons) {
+    ncls = 0;
+    for (int64_t v = 0; v < n; ++v)
+      if (cons[v] + 1 > ncls) ncls = cons[v] + 1;
+    remaining.assign(ncls, 0);
+    for (int64_t v = 0; v < n; ++v) ++remaining[cons[v]];
+    cls_ptr.assign(ncls + 1, 0);
+    for (int64_t v = 0; v < n; ++v) ++cls_ptr[cons[v] + 1];
+    for (int64_t c = 0; c < ncls; ++c) cls_ptr[c + 1] += cls_ptr[c];
+    cls_vert.resize(n);
+    std::vector<int64_t> fill = cls_ptr;
+    for (int64_t v = 0; v < n; ++v) cls_vert[fill[cons[v]]++] = v;
+  }
   // pool with headroom for garbage collection
   int64_t nz = indptr[n];
   int64_t cap = nz * 2 + 4 * n + 16;
@@ -187,7 +211,8 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
     if (dnext[v] != -1) dprev[dnext[v]] = dprev[v];
     dnext[v] = dprev[v] = -1;
   };
-  for (int64_t v = 0; v < n; ++v) deg_insert(v);
+  for (int64_t v = 0; v < n; ++v)
+    if (!cons || cons[v] == 0) deg_insert(v);
 
   auto gc = [&](int64_t need) {
     // compact live adjacency lists to the front of the pool
@@ -218,6 +243,17 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
   int64_t k = 0;
   int64_t mindeg = 0;
   while (k < n) {
+    // constrained: advance to the next non-empty class and activate its
+    // remaining variables in the degree lists
+    if (cons && remaining[cc] == 0) {
+      while (cc < ncls - 1 && remaining[cc] == 0) ++cc;
+      if (remaining[cc] == 0) break;        // everything eliminated
+      for (int64_t t = cls_ptr[cc]; t < cls_ptr[cc + 1]; ++t) {
+        int64_t v = cls_vert[t];
+        if (state[v] == 0) deg_insert(v);
+      }
+      mindeg = 0;
+    }
     // pick min-degree variable
     int64_t p = -1;
     while (mindeg <= n) {
@@ -283,6 +319,7 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
       }
     }
     k += nv[p];
+    if (cons) remaining[cc] -= nv[p];
 
     // ---- update neighbours
     // pass 1: per-element overlap sizes |L_e| are maintained in elen; compute
@@ -352,8 +389,10 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
       if (dnew < 0) dnew = 0;
       deg_remove(v, olddeg);
       deg[v] = dnew;
-      deg_insert(v);
-      if (dnew < mindeg) mindeg = dnew;
+      if (!cons || cons[v] == cc) {       // future classes stay parked
+        deg_insert(v);
+        if (dnew < mindeg) mindeg = dnew;
+      }
     }
     // ---- supervariable detection via adjacency hashing: variables of Lp
     // with identical closed neighbourhoods (Adj(u) ∪ {u} == Adj(v) ∪ {v})
@@ -386,6 +425,7 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
           for (size_t j = i + 1; j < b; ++j) {
             int64_t v2 = hv2[j].second;
             if (state[v2] != 0) continue;
+            if (cons && cons[u] != cons[v2]) continue;
             if (ne[u] != ne[v2] || nv_adj[u] != nv_adj[v2]) continue;
             ++mark_val;
             int64_t hu = head[u], len = ne[u] + nv_adj[u];
@@ -405,8 +445,10 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
             if (du < 0) du = 0;
             deg_remove(u, deg[u]);
             deg[u] = du;
-            deg_insert(u);
-            if (du < mindeg) mindeg = du;
+            if (!cons || cons[u] == cc) {
+              deg_insert(u);
+              if (du < mindeg) mindeg = du;
+            }
           }
         }
         a = b;
@@ -415,7 +457,9 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
   }
   // Supervariable members (nv > 1) were already emitted inline via their
   // svnext chains when their representative pivoted, so perm holds each
-  // eliminated column once. Fill remaining (isolated) in index order.
+  // eliminated column once. Fill remaining (isolated) in index order —
+  // grouped by constraint class so the class contract survives the safety
+  // path too.
   {
     std::vector<int8_t> seen(n, 0);
     int64_t kk = 0;
@@ -424,11 +468,28 @@ int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
       int64_t v = perm[t];
       if (v >= 0 && v < n && !seen[v] && t < k) { seen[v] = 1; out[kk++] = v; }
     }
-    for (int64_t v = 0; v < n && kk < n; ++v)
-      if (!seen[v]) { seen[v] = 1; out[kk++] = v; }
+    std::vector<int64_t> rest;
+    for (int64_t v = 0; v < n; ++v)
+      if (!seen[v]) rest.push_back(v);
+    if (cons)
+      std::sort(rest.begin(), rest.end(), [&](int64_t a, int64_t b) {
+        return cons[a] != cons[b] ? cons[a] < cons[b] : a < b;
+      });
+    for (int64_t v : rest)
+      if (kk < n) out[kk++] = v;
     std::memcpy(perm, out.data(), n * sizeof(int64_t));
   }
   return 0;
+}
+
+int64_t spfx_amd(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 int64_t* perm) {
+  return amd_impl(n, indptr, indices, nullptr, perm);
+}
+
+int64_t spfx_camd(int64_t n, const int64_t* indptr, const int32_t* indices,
+                  const int64_t* cons, int64_t* perm) {
+  return amd_impl(n, indptr, indices, cons, perm);
 }
 
 }  // extern "C"

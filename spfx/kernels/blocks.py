@@ -435,7 +435,7 @@ def update_rows_sym_c(L, kw, mrows, src_start, tgt_cpos,
 
 
 def extend_add_slab(L, slab_lo, ea_idx, ea_rbase, ea_rel, E,
-                    srows: int, csp: int):
+                    srows: int, csp: int, ng=None):
     """Subtract the valid update rows of E (B, mp, csp) into the slab
     L[slab_lo : slab_lo + srows*csp] viewed as (srows, csp) — WINDOWED
     ONE-HOT form: per plan-time group (sorted by target row), one
@@ -461,9 +461,12 @@ def extend_add_slab(L, slab_lo, ea_idx, ea_rbase, ea_rel, E,
         Ec = Eflat[ea_idx]
         slab = slab.at[rows].add(-Ec, mode="drop")
         return lax.dynamic_update_slice(L, slab.reshape(-1), (slab_lo,))
-    ng = ea_rbase.shape[0]
-    Ec = Eflat[ea_idx].reshape(ng, EA_G, csp)
-    slab = _ea_groups(slab, ea_rbase, ea_rel, Ec, W)
+    if ng is not None:
+        slab = _ea_groups_dyn(slab, ea_rbase, ea_rel, ea_idx, Eflat, W, ng)
+    else:
+        ngs = ea_rbase.shape[0]
+        Ec = Eflat[ea_idx].reshape(ngs, EA_G, csp)
+        slab = _ea_groups(slab, ea_rbase, ea_rel, Ec, W)
     return lax.dynamic_update_slice(L, slab.reshape(-1), (slab_lo,))
 
 
@@ -487,22 +490,53 @@ def _ea_groups(slab, ea_rbase, ea_rel, Ec, W: int):
     return slab
 
 
+def _ea_groups_dyn(slab, ea_rbase, ea_rel, ea_idx, Eflat, W: int, ng):
+    """_ea_groups with a DYNAMIC trip count: the mega engine pads each
+    class's group tables to the class-wide max, and every dead group would
+    burn a (W, EA_G) x (EA_G, csp) MXU matmul plus an EA_G-row gather of
+    E; tripping exactly ``ng`` times (a traced scalar from the chunk's
+    ea_ng table) skips them entirely — a fori_loop iteration measures
+    ~1-2us on v5e (tools/switch_scaling.py)."""
+    from spfx.plan.schedule import EA_G
+    iw = jnp.arange(W, dtype=ea_rel.dtype)
+    csp = slab.shape[1]
+
+    def body(g, slab):
+        rb = lax.dynamic_index_in_dim(ea_rbase, g, 0,
+                                      keepdims=False).astype(jnp.int32)
+        rel = lax.dynamic_index_in_dim(ea_rel, g, 0, keepdims=False)
+        idx = lax.dynamic_slice(ea_idx, (g * EA_G,), (EA_G,))
+        ec = Eflat[idx]
+        oh = (iw[:, None] == rel[None, :]).astype(ec.dtype)
+        delta = jnp.einsum("wg,gc->wc", oh, ec,
+                           precision=lax.Precision.HIGHEST)
+        win = lax.dynamic_slice(slab, (rb, jnp.int32(0)), (W, csp))
+        return lax.dynamic_update_slice(slab, win - delta,
+                                        (rb, jnp.int32(0)))
+
+    return lax.fori_loop(0, ng, body, slab)
+
+
 def extend_add_region(L, slab_lo, ea_idx, ea_rbase, ea_rel, E,
-                      srows: int, csp: int, smax: int):
+                      srows: int, csp: int, smax: int, ng=None):
     """Region-return form of extend_add_slab: computes the updated
     [slab_lo, slab_lo + smax) region of L WITHOUT writing it (the mega
     engine's scan body writes it outside the lax.switch — a read+write
     branch inside switch forces a full-carry copy per step, measured
     679us vs 94us at 268MB storage). The region tail beyond the slab is
-    returned unchanged."""
+    returned unchanged. ``ng`` (traced): true group count — see
+    _ea_groups_dyn."""
     from spfx.plan.schedule import EA_G, ea_window
     W = ea_window(srows)
     region = lax.dynamic_slice(L, (slab_lo,), (smax,))
     slab = region[:srows * csp].reshape(srows, csp)
     Eflat = E.reshape(-1, csp)
-    ng = ea_rbase.shape[0]
-    Ec = Eflat[ea_idx].reshape(ng, EA_G, csp)
-    slab = _ea_groups(slab, ea_rbase, ea_rel, Ec, W)
+    if ng is not None:
+        slab = _ea_groups_dyn(slab, ea_rbase, ea_rel, ea_idx, Eflat, W, ng)
+    else:
+        ngs = ea_rbase.shape[0]
+        Ec = Eflat[ea_idx].reshape(ngs, EA_G, csp)
+        slab = _ea_groups(slab, ea_rbase, ea_rel, Ec, W)
     region = lax.dynamic_update_slice(region, slab.reshape(-1),
                                       (jnp.int32(0),))
     return region, slab_lo
@@ -546,19 +580,26 @@ def factor_panels_lu_region(Lx, Ux, widths, nbelow, slab_lo,
 
 
 def extend_add_region_lu(Lx, Ux, slab_lo, ea_idx, ea_rbase, ea_rel,
-                         EL, EU, srows: int, csp: int, smax: int):
+                         EL, EU, srows: int, csp: int, smax: int,
+                         ng=None):
     """Region-return LU extend-add (twin regions, one offset)."""
     from spfx.plan.schedule import EA_G, ea_window
     W = ea_window(srows)
-    ng = ea_rbase.shape[0]
     regl = lax.dynamic_slice(Lx, (slab_lo,), (smax,))
     regu = lax.dynamic_slice(Ux, (slab_lo,), (smax,))
     sl = regl[:srows * csp].reshape(srows, csp)
     su = regu[:srows * csp].reshape(srows, csp)
-    EcL = EL.reshape(-1, csp)[ea_idx].reshape(ng, EA_G, csp)
-    EcU = EU.reshape(-1, csp)[ea_idx].reshape(ng, EA_G, csp)
-    sl = _ea_groups(sl, ea_rbase, ea_rel, EcL, W)
-    su = _ea_groups(su, ea_rbase, ea_rel, EcU, W)
+    if ng is not None:
+        sl = _ea_groups_dyn(sl, ea_rbase, ea_rel, ea_idx,
+                            EL.reshape(-1, csp), W, ng)
+        su = _ea_groups_dyn(su, ea_rbase, ea_rel, ea_idx,
+                            EU.reshape(-1, csp), W, ng)
+    else:
+        ngs = ea_rbase.shape[0]
+        EcL = EL.reshape(-1, csp)[ea_idx].reshape(ngs, EA_G, csp)
+        EcU = EU.reshape(-1, csp)[ea_idx].reshape(ngs, EA_G, csp)
+        sl = _ea_groups(sl, ea_rbase, ea_rel, EcL, W)
+        su = _ea_groups(su, ea_rbase, ea_rel, EcU, W)
     regl = lax.dynamic_update_slice(regl, sl.reshape(-1), (jnp.int32(0),))
     regu = lax.dynamic_update_slice(regu, su.reshape(-1), (jnp.int32(0),))
     return regl, regu, slab_lo
@@ -584,7 +625,8 @@ def update_rows_sym_t(L, kw, mrows, src_start, head_start, tgt_cpos,
     G = _task_gather(L, src_start, mp, kp)                 # (B, mp, kp)
     G = G * _col_mask(kw, kp, L.dtype)[:, None, :] \
         * _row_mask(mrows, mp, L.dtype)[:, :, None]
-    H = _task_gather(L, head_start, csp, kp)               # (B, csp, kp)
+    np_ = tgt_cpos.shape[1]                                # head rows <= csp
+    H = _task_gather(L, head_start, np_, kp)               # (B, np, kp)
     H = H * _col_mask(kw, kp, L.dtype)[:, None, :]
     C = jnp.einsum("bmk,bnk->bmn", G, _conj(H),
                    preferred_element_type=L.dtype)
@@ -601,8 +643,9 @@ def update_rows_lu_t(Lx, Ux, kw, mrows, src_start, head_start, tgt_cpos,
     rm = _row_mask(mrows, mp, Lx.dtype)[:, :, None]
     GL = _task_gather(Lx, src_start, mp, kp) * km * rm
     GU = _task_gather(Ux, src_start, mp, kp) * km * rm
-    HL = _task_gather(Lx, head_start, csp, kp) * km
-    HU = _task_gather(Ux, head_start, csp, kp) * km
+    np_ = tgt_cpos.shape[1]                                # head rows <= csp
+    HL = _task_gather(Lx, head_start, np_, kp) * km
+    HU = _task_gather(Ux, head_start, np_, kp) * km
     CL = jnp.einsum("bmk,bnk->bmn", GL, HU,
                     preferred_element_type=Lx.dtype)
     CU = jnp.einsum("bmk,bnk->bmn", GU, HL,

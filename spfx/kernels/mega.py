@@ -90,19 +90,22 @@ def _collect(plan, solve_only: bool = False):
                         (ub.mp, ub.kp, ub.csp, ub.slab_rows),
                         [ub.kw, ub.mrows, ub.src_start, ub.head_start,
                          ub.slab_lo, ub.ea_idx, ub.ea_rbase, ub.ea_rel,
-                         ub.tgt_cpos],
-                        [0, 0, -1, -1, 0, 0, 0, -1, -1])
+                         ub.ea_ng, ub.tgt_cpos],
+                        [0, 0, -1, -1, 0, 0, 0, -1, 0, -1])
                 elif isinstance(ub, UpdateBucketC):
                     # class key deliberately EXCLUDES np (= tgt_cpos width):
                     # chunks with different true-N paddings share one switch
                     # branch (tgt_cpos re-padded to the class max below) —
                     # measured 183 -> ~110 classes at 48^3, and whole-program
                     # compile time is ~linear in class count
+                    ng = ub.ea_ng if ub.ea_ng is not None \
+                        else np.asarray([len(ub.ea_rbase)], np.int32)
                     add("UC", ("UC", ub.mp, ub.kp, ub.csp, ub.slab_rows),
                         (ub.mp, ub.kp, ub.csp, ub.slab_rows),
                         [ub.kw, ub.mrows, ub.src_start, ub.slab_lo,
-                         ub.ea_idx, ub.ea_rbase, ub.ea_rel, ub.tgt_cpos],
-                        [0, 0, -1, 0, 0, 0, -1, -1])
+                         ub.ea_idx, ub.ea_rbase, ub.ea_rel, ng,
+                         ub.tgt_cpos],
+                        [0, 0, -1, 0, 0, 0, -1, 0, -1])
                 else:
                     mp = ub.src_row_start.shape[1]
                     add("U", ("U", mp, ub.kp, ub.csp),
@@ -211,23 +214,25 @@ def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
 
                 def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
-                    kw, mr, ss, hs, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    kw, mr, ss, hs, lo, eai, erb, erl, ng, cpos = \
+                        _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         E = B.update_rows_sym_t(
                             L, kw, mr, ss, hs, cpos, mp, kp, csp)
                     return B.extend_add_region(L, lo[0], eai, erb, erl, E,
-                                               srows, csp, smax)
+                                               srows, csp, smax, ng[0])
             elif kind == "UC":
                 mp, kp, csp, srows = static
 
                 def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
-                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    kw, mr, ss, lo, eai, erb, erl, ng, cpos = \
+                        _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         E = B.update_rows_sym_c(
                             L, kw, mr, ss, cpos, mp, kp, csp)
                     return B.extend_add_region(L, lo[0], eai, erb, erl, E,
-                                               srows, csp, smax)
+                                               srows, csp, smax, ng[0])
             elif kind == "PC":
                 cp, rbp = static
 
@@ -245,26 +250,28 @@ def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
                 def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
                     Lx, Ux = carry
-                    kw, mr, ss, hs, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    kw, mr, ss, hs, lo, eai, erb, erl, ng, cpos = \
+                        _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         EL, EU = B.update_rows_lu_t(
                             Lx, Ux, kw, mr, ss, hs, cpos, mp, kp, csp)
                     return B.extend_add_region_lu(
                         Lx, Ux, lo[0], eai, erb, erl, EL, EU,
-                        srows, csp, smax)
+                        srows, csp, smax, ng[0])
             elif kind == "UC":
                 mp, kp, csp, srows = static
 
                 def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
                     Lx, Ux = carry
-                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    kw, mr, ss, lo, eai, erb, erl, ng, cpos = \
+                        _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         EL, EU = B.update_rows_lu_c(
                             Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
                     return B.extend_add_region_lu(
                         Lx, Ux, lo[0], eai, erb, erl, EL, EU,
-                        srows, csp, smax)
+                        srows, csp, smax, ng[0])
             elif kind == "PC":
                 cp, rbp = static
 
@@ -325,23 +332,25 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
 
                 def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
-                    kw, mr, ss, hs, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    kw, mr, ss, hs, lo, eai, erb, erl, ng, cpos = \
+                        _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         E = B.update_rows_sym_t(
                             L, kw, mr, ss, hs, cpos, mp, kp, csp)
                     return B.extend_add_slab(L, lo[0], eai, erb, erl, E,
-                                             srows, csp)
+                                             srows, csp, ng[0])
             elif kind == "UC":
                 mp, kp, csp, srows = static
 
                 def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
-                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    kw, mr, ss, lo, eai, erb, erl, ng, cpos = \
+                        _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         E = B.update_rows_sym_c(
                             L, kw, mr, ss, cpos, mp, kp, csp)
                     return B.extend_add_slab(L, lo[0], eai, erb, erl, E,
-                                             srows, csp)
+                                             srows, csp, ng[0])
             elif kind == "PC":
                 cp, rbp = static
 
@@ -376,14 +385,15 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
                 def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
                     Lx, Ux = carry
-                    kw, mr, ss, hs, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    kw, mr, ss, hs, lo, eai, erb, erl, ng, cpos = \
+                        _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         EL, EU = B.update_rows_lu_t(
                             Lx, Ux, kw, mr, ss, hs, cpos, mp, kp, csp)
                     Lx = B.extend_add_slab(Lx, lo[0], eai, erb, erl, EL,
-                                           srows, csp)
+                                           srows, csp, ng[0])
                     Ux = B.extend_add_slab(Ux, lo[0], eai, erb, erl, EU,
-                                           srows, csp)
+                                           srows, csp, ng[0])
                     return Lx, Ux
             elif kind == "UC":
                 mp, kp, csp, srows = static
@@ -391,14 +401,15 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
                 def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
                     Lx, Ux = carry
-                    kw, mr, ss, lo, eai, erb, erl, cpos = _take(tabs, i)
+                    kw, mr, ss, lo, eai, erb, erl, ng, cpos = \
+                        _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         EL, EU = B.update_rows_lu_c(
                             Lx, Ux, kw, mr, ss, cpos, mp, kp, csp)
                     Lx = B.extend_add_slab(Lx, lo[0], eai, erb, erl, EL,
-                                           srows, csp)
+                                           srows, csp, ng[0])
                     Ux = B.extend_add_slab(Ux, lo[0], eai, erb, erl, EU,
-                                           srows, csp)
+                                           srows, csp, ng[0])
                     return Lx, Ux
             elif kind == "PC":
                 cp, rbp = static

@@ -35,6 +35,15 @@ def camd(A: sp.spmatrix, constraints: np.ndarray) -> np.ndarray:
     S.setdiag(0)
     S.eliminate_zeros()
     S = sp.csr_matrix(S)
+    # fast path: the C++ quotient-graph constrained AMD (supervariable
+    # hashing + element absorption, spfx/cpp/planner.cpp) — scales to
+    # n ~ 10^6; this file's exact O(n^2)-ish set-based elimination remains
+    # as the oracle fallback and ground truth for tests
+    from spfx.symbolic import _native
+    if _native.available():
+        p = _native.camd(n, S.indptr.astype(np.int64), S.indices, C)
+        if p is not None:
+            return p
 
     adj = [set(S.indices[S.indptr[i]:S.indptr[i + 1]].tolist())
            for i in range(n)]

@@ -335,10 +335,20 @@ def _separator_labels(adj: sp.csr_matrix, rng: np.random.Generator,
 
 
 def nested_dissection(A: sp.spmatrix, leaf_size: int = 96,
-                      seed: int = 0) -> np.ndarray:
+                      seed: int = 0, use_camd: bool | None = None
+                      ) -> np.ndarray:
     """Multilevel nested-dissection permutation of the symmetric pattern.
 
     Returns perm (int64): column k of PAP^T is column perm[k] of A.
+
+    ``use_camd`` (default: auto when the native planner is built): instead
+    of ordering each leaf with a local AMD and leaving separator interiors
+    in discovery order, the dissection only assigns every vertex a BLOCK
+    rank (leaves before their ancestor separators — exactly the slice
+    order below) and ONE global constrained-AMD call orders within every
+    block at once (ref camd_l2 after ND, Cholesky/Source/
+    SparseFrame.c:777-862). Separator interiors then eliminate in
+    min-degree order too, which the per-leaf path never gave them.
     """
     A = sp.csc_matrix(A)
     n = A.shape[0]
@@ -347,6 +357,12 @@ def nested_dissection(A: sp.spmatrix, leaf_size: int = 96,
     S.eliminate_zeros()
     S = S.tocsr().astype(np.int8)
     rng = np.random.default_rng(seed)
+    if use_camd is None:
+        from spfx.symbolic import _native
+        use_camd = _native.available()
+    # block id per vertex == its output-slice start (unique per block and
+    # ascending in elimination order) — the CAMD constraint classes
+    block_of = np.empty(n, dtype=np.int64) if use_camd else None
 
     perm_out = np.empty(n, dtype=np.int64)
 
@@ -360,6 +376,9 @@ def nested_dissection(A: sp.spmatrix, leaf_size: int = 96,
         lo, hi = out_slices.pop()
         m = len(ids)
         if m <= leaf_size:
+            if use_camd:
+                block_of[ids] = lo
+                continue
             sub = S[ids][:, ids]
             perm_out[lo:lo + m] = ids[amd_dense_tail(sub)]
             continue
@@ -382,6 +401,9 @@ def nested_dissection(A: sp.spmatrix, leaf_size: int = 96,
         if na == 0 or nb == 0:
             if m <= 4 * leaf_size:
                 # no useful separator (dense-ish subgraph) — order directly
+                if use_camd:
+                    block_of[ids] = lo
+                    continue
                 perm_out[lo:lo + m] = ids[amd_dense_tail(sub)]
                 continue
             # degenerate separator on a big graph: fall back to a BFS
@@ -396,12 +418,29 @@ def nested_dissection(A: sp.spmatrix, leaf_size: int = 96,
             half_a, half_b, sep = labels == 0, labels == 1, labels == 2
             na, nb = int(half_a.sum()), int(half_b.sum())
             if na == 0 or nb == 0:
+                if use_camd:
+                    block_of[ids] = lo
+                    continue
                 perm_out[lo:lo + m] = ids[amd_dense_tail(sub)]
                 continue
         # order: half_a, half_b, separator(last)
-        perm_out[lo + na + nb: lo + m] = ids[sep]
+        if use_camd:
+            block_of[ids[sep]] = lo + na + nb
+        else:
+            perm_out[lo + na + nb: lo + m] = ids[sep]
         stack.append(ids[half_a])
         out_slices.append((lo, lo + na))
         stack.append(ids[half_b])
         out_slices.append((lo + na, lo + na + nb))
+    if use_camd:
+        from spfx.symbolic import _native
+        # compress slice starts to dense class ranks (ascending == the
+        # leaves-then-separators elimination order above)
+        _, cons = np.unique(block_of, return_inverse=True)
+        p = _native.camd(n, S.indptr.astype(np.int64), S.indices,
+                         cons.astype(np.int64))
+        if p is not None:
+            return p
+        # native call unavailable/failed: rerun the pure-python path
+        return nested_dissection(A, leaf_size, seed, use_camd=False)
     return perm_out

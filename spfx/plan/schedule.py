@@ -205,6 +205,11 @@ class UpdateBucketC:
     ea_idx: np.ndarray = None   # (ngroups*EA_G,) int32 flat E row, 0 pad
     ea_rbase: np.ndarray = None  # (ngroups,) int32 window base slab row
     ea_rel: np.ndarray = None   # (ngroups, EA_G) int32 row - rbase, -1 pad
+    ea_ng: np.ndarray = None    # (1,) int32 TRUE group count: the mega
+    #                             engine's class tables pad ngroups to the
+    #                             class max, and each dead group would cost
+    #                             a full (W, EA_G) x (EA_G, csp) MXU matmul
+    #                             — the extend-add loop trips ea_ng times
     # M-TILED form (round 5, config.update_tile): each batch item is a tile
     # of <= mp source rows of one task; head_start points at the task's
     # leading (N-block) rows, gathered separately as a (csp, kp) window
@@ -840,7 +845,8 @@ def _make_update_bucket_c(sel, t_d, t_s, t_lpos, t_M, t_N, t_K,
     ub = UpdateBucketC(kw_a, m_a, ss_a,
                        np.asarray([slab_lo], idx_dtype), lr_a, cp_a,
                        mp, kp, csp, int(srows), flops,
-                       ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel)
+                       ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel,
+                       ea_ng=np.asarray([len(ea_rbase)], np.int32))
     ub.sds = sds
     return ub
 
@@ -903,7 +909,12 @@ def _make_update_bucket_t(sel, tid, t_d, t_s, t_lpos, t_N, t_K,
     spos = tpos + np.where(tpos >= W[s][:, None], bshift[s][:, None], 0)
     base_row = (offsets[s] - slab_lo) // csp
     tgt_lrow = np.where(vm & (tpos >= 0), base_row[:, None] + spos, -1)
-    ni = np.arange(csp, dtype=np.int64)[None, :]
+    # head window height: N <= min(task M, width(s)) always, so the small
+    # class (M <= mp) needs only an mp-row head — the csp-row worst case is
+    # paid only by chunks that contain tall-task tiles (the class tables
+    # are padded to the class-wide max in mega._collect, like UC's np)
+    npw = int(min(csp, _pad2(int(N.max()) if len(N) else 1, 8)))
+    ni = np.arange(npw, dtype=np.int64)[None, :]
     vn = ni < N[:, None]
     patn = np.minimum(sym.sn_ptr[d][:, None] + hl[:, None] + ni,
                       len(sym.sn_rows) - 1)
@@ -919,6 +930,7 @@ def _make_update_bucket_t(sel, tid, t_d, t_s, t_lpos, t_N, t_K,
                        np.asarray([slab_lo], idx_dtype), lr_a, cp_a,
                        mp, kp, csp, int(srows), flops,
                        ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel,
+                       ea_ng=np.asarray([len(ea_rbase)], np.int32),
                        head_start=hs_a)
     ub.sds = sds
     return ub

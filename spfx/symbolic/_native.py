@@ -64,6 +64,8 @@ def _register(lib):
     lib.spfx_sn_pattern_fill.restype = None
     lib.spfx_amd.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
     lib.spfx_amd.restype = ctypes.c_int64
+    lib.spfx_camd.argtypes = [ctypes.c_int64, i64p, i32p, i64p, i64p]
+    lib.spfx_camd.restype = ctypes.c_int64
 
 
 def available() -> bool:
@@ -126,6 +128,20 @@ def amd(n, indptr, indices) -> np.ndarray | None:
     indptr, indices = _i64(indptr), _i32(indices)
     perm = np.empty(n, dtype=np.int64)
     rc = lib.spfx_amd(n, _p64(indptr), _p32(indices), _p64(perm))
+    if rc != 0:
+        return None
+    return perm
+
+
+def camd(n, indptr, indices, cons) -> np.ndarray | None:
+    """Constrained quotient-graph AMD: classes eliminated in ascending
+    order, min-degree within the active class (ref camd_l2,
+    Cholesky/Source/SparseFrame.c:777-862)."""
+    lib = _load()
+    indptr, indices, cons = _i64(indptr), _i32(indices), _i64(cons)
+    perm = np.empty(n, dtype=np.int64)
+    rc = lib.spfx_camd(n, _p64(indptr), _p32(indices), _p64(cons),
+                       _p64(perm))
     if rc != 0:
         return None
     return perm

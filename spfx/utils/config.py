@@ -46,9 +46,14 @@ class Config:
     pad_batch_min: int = 1          # minimum padded batch
     max_gather_elems: int = 1 << 25 # chunk batched updates above this many
                                     # gathered f32 elements (HBM working set)
-    batch_floor_elems: int = 1 << 20  # round small shape classes up to at
-    #                                   least this much work per kernel call
-    #                                   (amortizes launch+dispatch overhead)
+    batch_floor_elems: int = 1 << 17  # round small shape classes up to at
+    #                                   least this much work per kernel call.
+    #                                   Only the per-CALL engines profit from
+    #                                   a large floor (dispatch amortization);
+    #                                   in the mega scan every padded dead
+    #                                   task costs real gather/MXU work —
+    #                                   2^20 measured 65% dead tasks and 5GB
+    #                                   of gather traffic at 48^3
     class_granularity: str = "pow4"   # update shape-class padding: "pow4"
     #                                   (fewer classes -> fewer calls) or
     #                                   "pow2" (less padding waste)
@@ -100,7 +105,7 @@ class Config:
     #                                   pad_pow2(ratio * class population),
     #                                   bounding dead padded work per call at
     #                                   the cost of extra jit signatures
-    max_region_elems: int = 1 << 21   # cap on one scan step's writable
+    max_region_elems: int = 1 << 19   # cap on one scan step's writable
     #                                   storage region (panel bucket block /
     #                                   update slab). The mega engine's
     #                                   switch branches return their region
@@ -108,8 +113,15 @@ class Config:
     #                                   read+write branch inside lax.switch
     #                                   measures a full-carry copy per step:
     #                                   679us vs 94us at 268MB storage /
-    #                                   8MB regions on v5e), so every step
-    #                                   pays REGION traffic, bounded here
+    #                                   8MB regions on v5e). EVERY scan step
+    #                                   pays the global max region's traffic
+    #                                   (XLA requires uniform write sizes
+    #                                   across switch branches — mixed sizes
+    #                                   measured a 1.6ms full-carry copy per
+    #                                   step, tools/switch_inplace.py), so
+    #                                   this cap is a first-order throughput
+    #                                   knob; the tallest single panel still
+    #                                   floors the global smax above it
 
     # ---- numeric --------------------------------------------------------
     dtype: str = "float32"          # device compute dtype

@@ -142,3 +142,48 @@ def test_camd_separator_constraints_reduce_fill():
     p = camd(A, C)
     assert (np.diff(C[p]) >= 0).all()
     assert fill_of(A, p) < fill_of(A, np.arange(n))
+
+
+def test_camd_native_matches_python_semantics():
+    """The C++ quotient-graph CAMD must produce a valid class-ordered
+    permutation with fill comparable to the exact python MD oracle."""
+    from spfx.symbolic import _native
+    from spfx.ordering import camd
+    if not _native.available():
+        import pytest
+        pytest.skip("native planner not built")
+    import scipy.sparse as sp
+    A = generate.laplacian_2d(14)
+    n = A.shape[0]
+    rng = np.random.default_rng(5)
+    C = rng.integers(0, 4, n).astype(np.int64)
+    S = ((A != 0) + (A != 0).T).tocsc()
+    S.setdiag(0)
+    S.eliminate_zeros()
+    p_nat = _native.camd(n, S.indptr.astype(np.int64), S.indices, C)
+    assert np.array_equal(np.sort(p_nat), np.arange(n))
+    assert (np.diff(C[p_nat]) >= 0).all()
+    import os
+    os.environ["SPFX_NO_NATIVE"] = "1"
+    try:
+        p_py = camd(A, C)
+    finally:
+        del os.environ["SPFX_NO_NATIVE"]
+    # approximate-degree quality within 25% of the exact oracle
+    assert fill_of(A, p_nat) < 1.25 * fill_of(A, p_py)
+
+
+def test_nd_camd_fill_not_worse():
+    """nested_dissection(use_camd=True) (one global constrained AMD over
+    the ND partition) must not increase fill vs the per-leaf-AMD path."""
+    from spfx.ordering.nd import nested_dissection
+    from spfx.symbolic import _native
+    if not _native.available():
+        import pytest
+        pytest.skip("native planner not built")
+    A = generate.laplacian_3d(10)
+    p_old = nested_dissection(A, use_camd=False)
+    p_new = nested_dissection(A, use_camd=True)
+    n = A.shape[0]
+    assert np.array_equal(np.sort(p_new), np.arange(n))
+    assert fill_of(A, p_new) <= 1.02 * fill_of(A, p_old)
