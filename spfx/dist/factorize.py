@@ -66,9 +66,9 @@ def _chol_chunk_fn(spec, axis):
                 for ent in upds:
                     if ent[0] == "UT":
                         _, mp, kp, csp = ent
-                        kw, mr, ss, hs, tgt, cpos = \
-                            (next(it) for _ in range(6))
-                        E = blocks.update_rows_sym_t(L, kw, mr, ss, hs,
+                        kw, mr, rs, ss, hs, tgt, cpos = \
+                            (next(it) for _ in range(7))
+                        E = blocks.update_rows_sym_t(L, kw, mr, rs, ss, hs,
                                                      cpos, mp, kp, csp)
                     elif ent[0] == "UC":
                         _, mp, kp, csp = ent
@@ -114,10 +114,10 @@ def _lu_chunk_fn(spec, axis):
                 for ent in upds:
                     if ent[0] == "UT":
                         _, mp, kp, csp = ent
-                        kw, mr, ss, hs, tgt, cpos = \
-                            (next(it) for _ in range(6))
+                        kw, mr, rs, ss, hs, tgt, cpos = \
+                            (next(it) for _ in range(7))
                         EL, EU = blocks.update_rows_lu_t(
-                            Lx, Ux, kw, mr, ss, hs, cpos, mp, kp, csp)
+                            Lx, Ux, kw, mr, rs, ss, hs, cpos, mp, kp, csp)
                     elif ent[0] == "UC":
                         _, mp, kp, csp = ent
                         kw, mr, ss, tgt, cpos = (next(it) for _ in range(5))
@@ -198,10 +198,10 @@ class _ShardedBase:
                     if isinstance(ub, UpdateBucketC) \
                             and ub.head_start is not None:
                         upds.append(("UT", ub.mp, ub.kp, ub.csp))
-                        arrs = (ub.kw, ub.mrows, ub.src_start,
+                        arrs = (ub.kw, ub.mrows, ub.rstart, ub.src_start,
                                 ub.head_start, ub.tgt_row_start,
                                 ub.tgt_cpos)
-                        fills = (0, 0, -1, -1, -1, -1)
+                        fills = (0, 0, 0, -1, -1, -1, -1)
                     elif isinstance(ub, UpdateBucketC):
                         upds.append(("UC", ub.mp, ub.kp, ub.csp))
                         arrs = (ub.kw, ub.mrows, ub.src_start,

@@ -257,9 +257,9 @@ class _SubtreeBase:
                 assert isinstance(ub, UpdateBucketC)
                 if ub.head_start is not None:
                     upds.append(("UT", ub.mp, ub.kp, ub.csp))
-                    arrs = (ub.kw, ub.mrows, ub.src_start, ub.head_start,
-                            ub.tgt_row_start, ub.tgt_cpos)
-                    fills = (0, 0, -1, -1, -1, -1)
+                    arrs = (ub.kw, ub.mrows, ub.rstart, ub.src_start,
+                            ub.head_start, ub.tgt_row_start, ub.tgt_cpos)
+                    fills = (0, 0, 0, -1, -1, -1, -1)
                 else:
                     upds.append(("UC", ub.mp, ub.kp, ub.csp))
                     arrs = (ub.kw, ub.mrows, ub.src_start,

@@ -615,18 +615,46 @@ def apply_updates_sym_c(L, kw, mrows, src_start, slab_lo, ea_idx, ea_rbase,
                            srows, csp)
 
 
-def update_rows_sym_t(L, kw, mrows, src_start, head_start, tgt_cpos,
-                      mp: int, kp: int, csp: int):
+def _task_gather_aligned(L, starts, rows: int, kp: int):
+    """Superwindow gather with every start aligned DOWN to the f32 HBM
+    tile: the planner builds all row masks / column maps / extend-add
+    tables against the superwindow row base (see _make_update_bucket_t),
+    so no realignment compute exists.  TPU f32 uses one DMA per window
+    (53ns/window measured vs 1307ns for the XLA gather's serial
+    dynamic-slice loop); other backends take the windowed XLA gather on
+    the pre-aligned starts."""
+    from spfx.kernels import pallas_blocks
+    if pallas_blocks.dma_ok(L.dtype):
+        return pallas_blocks.dma_gather(L, starts, rows * kp).reshape(
+            starts.shape[0], rows, kp)
+    A = pallas_blocks.ALIGN
+    sal = jnp.where(starts >= 0, (starts // A) * A, -1)
+    return _task_gather(L, sal, rows, kp)
+
+
+def _rng_mask(rstart, mrows, rows: int, dtype):
+    """Row-validity mask of a superwindow: rows [rstart, rstart+mrows)."""
+    mi = jnp.arange(rows)[None, :]
+    return ((mi >= rstart[:, None])
+            & (mi < (rstart + mrows)[:, None])).astype(dtype)
+
+
+def update_rows_sym_t(L, kw, mrows, rstart, src_start, head_start,
+                      tgt_cpos, mp: int, kp: int, csp: int):
     """M-TILED symmetric update rows (round-5 classes, see
     UpdateBucketC.head_start): each batch item is one (<= mp)-row tile of
-    a task; the task's N block is a separate (csp, kp) head window.  Head
-    rows beyond the true N read whatever follows in storage — their
-    tgt_cpos is -1, so the one-hot drops the corresponding C columns."""
-    G = _task_gather(L, src_start, mp, kp)                 # (B, mp, kp)
+    a task; the task's N block is a separate head window.  Windows are
+    ALIGN-superwindows (see _task_gather_aligned): the tile's true rows
+    sit at [rstart, rstart+mrows), and head rows outside the true N carry
+    tgt_cpos == -1, so the one-hot drops those C columns."""
+    from spfx.kernels import pallas_blocks
+    ext = pallas_blocks.ALIGN // kp
+    rows_g = mp + ext
+    G = _task_gather_aligned(L, src_start, rows_g, kp)
     G = G * _col_mask(kw, kp, L.dtype)[:, None, :] \
-        * _row_mask(mrows, mp, L.dtype)[:, :, None]
-    np_ = tgt_cpos.shape[1]                                # head rows <= csp
-    H = _task_gather(L, head_start, np_, kp)               # (B, np, kp)
+        * _rng_mask(rstart, mrows, rows_g, L.dtype)[:, :, None]
+    np_h = tgt_cpos.shape[1]
+    H = _task_gather_aligned(L, head_start, np_h, kp)
     H = H * _col_mask(kw, kp, L.dtype)[:, None, :]
     C = jnp.einsum("bmk,bnk->bmn", G, _conj(H),
                    preferred_element_type=L.dtype)
@@ -635,17 +663,20 @@ def update_rows_sym_t(L, kw, mrows, src_start, head_start, tgt_cpos,
                       preferred_element_type=L.dtype)
 
 
-def update_rows_lu_t(Lx, Ux, kw, mrows, src_start, head_start, tgt_cpos,
-                     mp: int, kp: int, csp: int):
+def update_rows_lu_t(Lx, Ux, kw, mrows, rstart, src_start, head_start,
+                     tgt_cpos, mp: int, kp: int, csp: int):
     """M-tiled LU update rows: GEMM pair with separately gathered head
-    windows (cf. update_rows_lu_c)."""
+    superwindows (cf. update_rows_lu_c / update_rows_sym_t)."""
+    from spfx.kernels import pallas_blocks
+    ext = pallas_blocks.ALIGN // kp
+    rows_g = mp + ext
     km = _col_mask(kw, kp, Lx.dtype)[:, None, :]
-    rm = _row_mask(mrows, mp, Lx.dtype)[:, :, None]
-    GL = _task_gather(Lx, src_start, mp, kp) * km * rm
-    GU = _task_gather(Ux, src_start, mp, kp) * km * rm
-    np_ = tgt_cpos.shape[1]                                # head rows <= csp
-    HL = _task_gather(Lx, head_start, np_, kp) * km
-    HU = _task_gather(Ux, head_start, np_, kp) * km
+    rm = _rng_mask(rstart, mrows, rows_g, Lx.dtype)[:, :, None]
+    GL = _task_gather_aligned(Lx, src_start, rows_g, kp) * km * rm
+    GU = _task_gather_aligned(Ux, src_start, rows_g, kp) * km * rm
+    np_h = tgt_cpos.shape[1]
+    HL = _task_gather_aligned(Lx, head_start, np_h, kp) * km
+    HU = _task_gather_aligned(Ux, head_start, np_h, kp) * km
     CL = jnp.einsum("bmk,bnk->bmn", GL, HU,
                     preferred_element_type=Lx.dtype)
     CU = jnp.einsum("bmk,bnk->bmn", GU, HL,
@@ -659,22 +690,22 @@ def update_rows_lu_t(Lx, Ux, kw, mrows, src_start, head_start, tgt_cpos,
 
 @partial(jax.jit, donate_argnums=0,
          static_argnames=("mp", "kp", "csp", "srows"))
-def apply_updates_sym_t(L, kw, mrows, src_start, head_start, slab_lo,
-                        ea_idx, ea_rbase, ea_rel, tgt_cpos, mp: int,
-                        kp: int, csp: int, srows: int):
-    E = update_rows_sym_t(L, kw, mrows, src_start, head_start, tgt_cpos,
-                          mp, kp, csp)
+def apply_updates_sym_t(L, kw, mrows, rstart, src_start, head_start,
+                        slab_lo, ea_idx, ea_rbase, ea_rel, tgt_cpos,
+                        mp: int, kp: int, csp: int, srows: int):
+    E = update_rows_sym_t(L, kw, mrows, rstart, src_start, head_start,
+                          tgt_cpos, mp, kp, csp)
     return extend_add_slab(L, slab_lo[0], ea_idx, ea_rbase, ea_rel, E,
                            srows, csp)
 
 
 @partial(jax.jit, donate_argnums=(0, 1),
          static_argnames=("mp", "kp", "csp", "srows"))
-def apply_updates_lu_t(Lx, Ux, kw, mrows, src_start, head_start, slab_lo,
-                       ea_idx, ea_rbase, ea_rel, tgt_cpos, mp: int,
-                       kp: int, csp: int, srows: int):
-    EL, EU = update_rows_lu_t(Lx, Ux, kw, mrows, src_start, head_start,
-                              tgt_cpos, mp, kp, csp)
+def apply_updates_lu_t(Lx, Ux, kw, mrows, rstart, src_start, head_start,
+                       slab_lo, ea_idx, ea_rbase, ea_rel, tgt_cpos,
+                       mp: int, kp: int, csp: int, srows: int):
+    EL, EU = update_rows_lu_t(Lx, Ux, kw, mrows, rstart, src_start,
+                              head_start, tgt_cpos, mp, kp, csp)
     Lx = extend_add_slab(Lx, slab_lo[0], ea_idx, ea_rbase, ea_rel, EL,
                          srows, csp)
     Ux = extend_add_slab(Ux, slab_lo[0], ea_idx, ea_rbase, ea_rel, EU,

@@ -44,8 +44,54 @@ def _stack(arrs: List[np.ndarray]) -> np.ndarray:
     return np.stack(arrs, axis=0)
 
 
+class _Packed:
+    """One class's view into the engine-wide packed table buffer.
+
+    Why packing exists (measured, v5e 48^3 trace): when every class closes
+    over its own small s32 tables, XLA passes them all as conditional
+    operands and copies each into SMEM EVERY scan step — ~26 copy-start
+    ops x ~12.6us per step (~0.5s of the 0.94s factorize). Concatenating
+    every class's tables into ONE flat int32 HBM buffer leaves a single
+    shared operand; each branch reads its rows with dynamic_slice at
+    static offsets (dynamic-slice reads from HBM measured free of the
+    copy pathology, tools/switch_scaling.py)."""
+
+    def __init__(self, buf, meta):
+        self.buf = buf            # (N,) int32 device buffer (shared)
+        self.meta = meta          # [(base, rowsize, rowshape), ...]
+
+
+def _pack_tables(classes):
+    """Concatenate every class's stacked int32 tables into one flat host
+    buffer; returns (buf, metas) with per-class _Packed metadata."""
+    bufs, metas = [], []
+    off = 0
+    for c in classes:
+        meta = []
+        for t in c["tables"]:
+            t32 = np.ascontiguousarray(np.asarray(t, dtype=np.int32))
+            rowsz = int(np.prod(t32.shape[1:], dtype=np.int64)) if \
+                t32.ndim > 1 else 1
+            meta.append((off, rowsz, tuple(t32.shape[1:])))
+            bufs.append(t32.reshape(-1))
+            off += int(t32.size)
+        metas.append(meta)
+    buf = np.concatenate(bufs) if bufs else np.zeros(0, np.int32)
+    return buf, metas
+
+
 def _take(tabs, i):
-    """Row i of every stacked class table (device)."""
+    """Row i of every class table: stacked device arrays (legacy) or a
+    _Packed view into the shared flat buffer."""
+    if isinstance(tabs, _Packed):
+        out = []
+        for base, rowsz, shp in tabs.meta:
+            if rowsz == 0:                      # e.g. xrows with rbp == 0
+                out.append(jnp.zeros(shp, tabs.buf.dtype))
+                continue
+            v = lax.dynamic_slice(tabs.buf, (base + i * rowsz,), (rowsz,))
+            out.append(v.reshape(shp) if shp else v.reshape(()))
+        return tuple(out)
     return tuple(lax.dynamic_index_in_dim(t, i, 0, keepdims=False)
                  for t in tabs)
 
@@ -88,10 +134,10 @@ def _collect(plan, solve_only: bool = False):
                     # key is just the tile/source/target shapes
                     add("UT", ("UT", ub.mp, ub.kp, ub.csp, ub.slab_rows),
                         (ub.mp, ub.kp, ub.csp, ub.slab_rows),
-                        [ub.kw, ub.mrows, ub.src_start, ub.head_start,
-                         ub.slab_lo, ub.ea_idx, ub.ea_rbase, ub.ea_rel,
-                         ub.ea_ng, ub.tgt_cpos],
-                        [0, 0, -1, -1, 0, 0, 0, -1, 0, -1])
+                        [ub.kw, ub.mrows, ub.rstart, ub.src_start,
+                         ub.head_start, ub.slab_lo, ub.ea_idx,
+                         ub.ea_rbase, ub.ea_rel, ub.ea_ng, ub.tgt_cpos],
+                        [0, 0, 0, -1, -1, 0, 0, 0, -1, 0, -1])
                 elif isinstance(ub, UpdateBucketC):
                     # class key deliberately EXCLUDES np (= tgt_cpos width):
                     # chunks with different true-N paddings share one switch
@@ -162,7 +208,15 @@ def _collect(plan, solve_only: bool = False):
         np.asarray(chunk_ids, np.int32)
 
 
-def _flatten_tables(classes):
+def _flatten_tables(classes, packed: bool = True):
+    """Device operands + layout for the class tables. packed=True (the
+    single-chip engines) returns ONE flat int32 buffer plus per-class
+    _Packed metadata (see _Packed for why); packed=False returns the
+    legacy per-table arrays (the sharded engines device_put tables with
+    their own shardings)."""
+    if packed:
+        buf, metas = _pack_tables(classes)
+        return [jnp.asarray(buf)], metas
     flat, layout = [], []
     for c in classes:
         layout.append(len(c["tables"]))
@@ -171,6 +225,8 @@ def _flatten_tables(classes):
 
 
 def _unflatten(layout, flat):
+    if layout and isinstance(layout[0], list):      # packed metas
+        return [_Packed(flat[0], m) for m in layout]
     out, k = [], 0
     for n in layout:
         out.append(tuple(flat[k:k + n]))
@@ -214,11 +270,11 @@ def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
 
                 def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
-                    kw, mr, ss, hs, lo, eai, erb, erl, ng, cpos = \
+                    kw, mr, rs, ss, hs, lo, eai, erb, erl, ng, cpos = \
                         _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         E = B.update_rows_sym_t(
-                            L, kw, mr, ss, hs, cpos, mp, kp, csp)
+                            L, kw, mr, rs, ss, hs, cpos, mp, kp, csp)
                     return B.extend_add_region(L, lo[0], eai, erb, erl, E,
                                                srows, csp, smax, ng[0])
             elif kind == "UC":
@@ -250,11 +306,11 @@ def make_region_branches(kinds, tabs_by_class, lu: bool, fac_prec,
                 def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
                     Lx, Ux = carry
-                    kw, mr, ss, hs, lo, eai, erb, erl, ng, cpos = \
+                    kw, mr, rs, ss, hs, lo, eai, erb, erl, ng, cpos = \
                         _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         EL, EU = B.update_rows_lu_t(
-                            Lx, Ux, kw, mr, ss, hs, cpos, mp, kp, csp)
+                            Lx, Ux, kw, mr, rs, ss, hs, cpos, mp, kp, csp)
                     return B.extend_add_region_lu(
                         Lx, Ux, lo[0], eai, erb, erl, EL, EU,
                         srows, csp, smax, ng[0])
@@ -332,11 +388,11 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
 
                 def br(L, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
-                    kw, mr, ss, hs, lo, eai, erb, erl, ng, cpos = \
+                    kw, mr, rs, ss, hs, lo, eai, erb, erl, ng, cpos = \
                         _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         E = B.update_rows_sym_t(
-                            L, kw, mr, ss, hs, cpos, mp, kp, csp)
+                            L, kw, mr, rs, ss, hs, cpos, mp, kp, csp)
                     return B.extend_add_slab(L, lo[0], eai, erb, erl, E,
                                              srows, csp, ng[0])
             elif kind == "UC":
@@ -385,11 +441,11 @@ def make_branches(kinds, tabs_by_class, lu: bool, fac_prec, upd_prec):
                 def br(carry, i, tabs=tabs, mp=mp, kp=kp, csp=csp,
                        srows=srows):
                     Lx, Ux = carry
-                    kw, mr, ss, hs, lo, eai, erb, erl, ng, cpos = \
+                    kw, mr, rs, ss, hs, lo, eai, erb, erl, ng, cpos = \
                         _take(tabs, i)
                     with jax.default_matmul_precision(upd_prec):
                         EL, EU = B.update_rows_lu_t(
-                            Lx, Ux, kw, mr, ss, hs, cpos, mp, kp, csp)
+                            Lx, Ux, kw, mr, rs, ss, hs, cpos, mp, kp, csp)
                     Lx = B.extend_add_slab(Lx, lo[0], eai, erb, erl, EL,
                                            srows, csp, ng[0])
                     Ux = B.extend_add_slab(Ux, lo[0], eai, erb, erl, EU,

@@ -33,6 +33,70 @@ def _guard(name: str, nbytes: int) -> None:
         vmem.assert_fits(name, nbytes)
 
 
+ALIGN = 1024        # f32 HBM tile: DMA slice offsets must be multiples
+
+
+def dma_ok(dtype) -> bool:
+    """The DMA window gather runs on real TPUs for f32 only (the tiling
+    constant and alignment absorption assume 4-byte elements)."""
+    import os
+    if os.environ.get("SPFX_NO_PALLAS"):
+        return False
+    return not _interpret() and jnp.dtype(dtype) == jnp.float32
+
+
+def dma_gather(L, starts, win: int, ns: int = 8):
+    """(B,) int32 element starts -> (B, win) f32 windows of L, each start
+    ALIGNED DOWN to the f32 HBM tile (ALIGN elements) and clipped to
+    bounds.  One DMA per window with ``ns`` in flight: measured 53ns per
+    1024-element window on v5e vs 1307ns for the XLA gather's serial
+    dynamic-slice loop (tools/dma_gather_probe.py) — batched window
+    gathers are THE dominant cost of the mega scan (390k windows at 48^3).
+
+    The consumer absorbs the alignment at PLAN time: row masks / one-hot
+    column maps / extend-add tables are built against the superwindow row
+    offset r0 = (start mod ALIGN) / kp, so no realignment compute exists
+    anywhere.  ``win`` must be a multiple of ALIGN.  Dead tasks
+    (start < 0) read window 0 — their rows are plan-masked."""
+    assert win % ALIGN == 0, win
+    B = starts.shape[0]
+    lim = L.shape[0] - win
+
+    def kernel(starts_ref, L_ref, out_ref):
+        def body(sems):
+            def copy(i, slot):
+                s = jnp.clip(starts_ref[i], 0, lim)
+                s = pl.multiple_of((s // ALIGN) * ALIGN, ALIGN)
+                d = pl.multiple_of(i * win, ALIGN)
+                return pltpu.make_async_copy(
+                    L_ref.at[pl.ds(s, win)], out_ref.at[pl.ds(d, win)],
+                    sems.at[slot])
+
+            for k in range(min(ns, B)):
+                copy(jnp.int32(k), jnp.int32(k)).start()
+
+            def loop(i, _):
+                copy(i, i % ns).wait()
+
+                @pl.when(i + ns < B)
+                def _():
+                    copy(i + ns, (i + ns) % ns).start()
+
+                return 0
+
+            jax.lax.fori_loop(0, B, loop, 0)
+
+        pl.run_scoped(body, pltpu.SemaphoreType.DMA((ns,)))
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B * win,), L.dtype),
+    )(starts, L).reshape(B, win)
+
+
 # --------------------------------------------------------------------------
 # Fused batched SYRK + GEMM panel update:
 #   S[b] = A[b] @ A[b]^T          (n x n)

@@ -217,6 +217,10 @@ class UpdateBucketC:
     # head_start is None for round-4 pow4-M buckets (N block = leading rows
     # of the tile's own window).
     head_start: np.ndarray = None  # (B,) int32 flat start of task head, -1
+    rstart: np.ndarray = None   # (B,) int32 row of the tile's first true
+    #                             row inside its ALIGN-superwindow (the
+    #                             gather DMA aligns starts down; see
+    #                             _make_update_bucket_t)
     _dev: tuple = None
 
     def dev(self):
@@ -225,7 +229,8 @@ class UpdateBucketC:
             arrs = (self.kw, self.mrows, self.src_start, self.slab_lo,
                     self.ea_idx, self.ea_rbase, self.ea_rel, self.tgt_cpos)
             if self.head_start is not None:
-                arrs = arrs[:3] + (self.head_start,) + arrs[3:]
+                arrs = arrs[:2] + (self.rstart, self.src_start,
+                                   self.head_start) + arrs[3:]
             self._dev = tuple(jnp.asarray(a) for a in arrs)
         return self._dev
 
@@ -549,11 +554,13 @@ def build_plan(sym: Symbolic, A: sp.spmatrix, config: Config = DEFAULT,
                 for key in np.unique(keys, axis=0):
                     mp, kp, csp = (int(x) for x in key)
                     sel = in_lv[(keys == key).all(axis=1)]
+                    ext = ALIGN // kp          # superwindow slack rows
                     qb = _batch_quantum(
-                        len(sel), mp * kp + csp * kp + 2 * mp * csp,
+                        len(sel), (mp + ext) * kp + (csp + ext) * kp
+                        + 2 * (mp + ext) * csp,
                         config.max_gather_elems, config.batch_floor_elems,
                         config.max_pad_ratio)
-                    slack = max(slack, mp * kp, csp * kp)
+                    slack = max(slack, (mp + ext) * kp, (csp + ext) * kp)
                     sel = sel[np.argsort(offsets[t_s[tid[sel]]],
                                          kind="stable")]
                     t_off = offsets[t_s[tid[sel]]]
@@ -882,6 +889,9 @@ def _ea_group_tables(lr_a, srows):
     return ea_idx, ea_rbase, ea_rel
 
 
+ALIGN = 1024    # f32 HBM DMA tile (spfx.kernels.pallas_blocks.ALIGN)
+
+
 def _make_update_bucket_t(sel, tid, t_d, t_s, t_lpos, t_N, t_K,
                           u_lpos, u_M, Wp, offsets, first_col, sym, rowpos,
                           mp, kp, csp, qb, srows, W, bshift,
@@ -889,41 +899,55 @@ def _make_update_bucket_t(sel, tid, t_d, t_s, t_lpos, t_N, t_K,
     """M-tiled contig update bucket: each batch item is one (<= mp)-row
     source tile of a task (kp == Wp[d], csp == Wp[s]); the task's N block
     (its leading N source rows, N <= width(s) <= csp) is gathered
-    separately via head_start as a (csp, kp) window shared by the task's
-    tiles. Slab extend-add target exactly as _make_update_bucket_c."""
+    separately via head_start. Slab extend-add exactly as the _c maker.
+
+    ALIGNMENT ABSORPTION: window gathers run as hardware DMAs whose
+    source offsets are aligned DOWN to the ALIGN-element HBM tile
+    (blocks._task_gather_aligned), so every window is a SUPERWINDOW of
+    ext = ALIGN/kp extra rows and the tile's true rows start at
+    r0 = (start mod ALIGN)/kp.  All realignment happens here, for free:
+    the row masks (rstart), the extend-add row maps, and the head's
+    one-hot column map are built against superwindow positions."""
     B = len(sel)
     tk = tid[sel]
     d, s = t_d[tk], t_s[tk]
     lpos, M = u_lpos[sel], u_M[sel]
     hl, N = t_lpos[tk], t_N[tk]
+    ext = ALIGN // kp
     src_start = offsets[d] + (lpos + bshift[d]) * Wp[d]
     head_start = offsets[d] + (hl + bshift[d]) * Wp[d]
+    r0 = (src_start % ALIGN) // kp
+    r0h = (head_start % ALIGN) // kp
     slab_lo = int(offsets[s[0]])
-    mi = np.arange(mp, dtype=np.int64)[None, :]
-    vm = mi < M[:, None]
-    pat = np.minimum(sym.sn_ptr[d][:, None] + lpos[:, None] + mi,
-                     len(sym.sn_rows) - 1)
+    rows_g = mp + ext
+    mi = np.arange(rows_g, dtype=np.int64)[None, :]
+    rel = mi - r0[:, None]                 # logical tile row at window row
+    vm = (rel >= 0) & (rel < M[:, None])
+    pat = np.clip(sym.sn_ptr[d][:, None] + lpos[:, None] + rel,
+                  0, len(sym.sn_rows) - 1)
     grow = sym.sn_rows[pat]
     tpos = rowpos(np.broadcast_to(s[:, None], grow.shape).ravel(),
                   grow.ravel()).reshape(grow.shape)
     spos = tpos + np.where(tpos >= W[s][:, None], bshift[s][:, None], 0)
     base_row = (offsets[s] - slab_lo) // csp
     tgt_lrow = np.where(vm & (tpos >= 0), base_row[:, None] + spos, -1)
-    # head window height: N <= min(task M, width(s)) always, so the small
-    # class (M <= mp) needs only an mp-row head — the csp-row worst case is
-    # paid only by chunks that contain tall-task tiles (the class tables
-    # are padded to the class-wide max in mega._collect, like UC's np)
-    npw = int(min(csp, _pad2(int(N.max()) if len(N) else 1, 8)))
-    ni = np.arange(npw, dtype=np.int64)[None, :]
-    vn = ni < N[:, None]
-    patn = np.minimum(sym.sn_ptr[d][:, None] + hl[:, None] + ni,
-                      len(sym.sn_rows) - 1)
+    # head height: N <= min(task M, width(s)), so the small class needs
+    # only an mp-row head; floored at ext so the window is a multiple of
+    # ALIGN, plus ext superwindow rows (class tables pad to the class max)
+    npw = max(int(min(csp, _pad2(int(N.max()) if len(N) else 1, 8))), ext)
+    np_h = npw + ext
+    ni = np.arange(np_h, dtype=np.int64)[None, :]
+    reln = ni - r0h[:, None]
+    vn = (reln >= 0) & (reln < N[:, None])
+    patn = np.clip(sym.sn_ptr[d][:, None] + hl[:, None] + reln,
+                   0, len(sym.sn_rows) - 1)
     q = sym.sn_rows[patn]
     tgt_cpos = np.where(vn, q - first_col[s][:, None], -1)
     flops = float(2.0 * (M.astype(float) * N * t_K[tk]).sum())
-    arrs = _pad_batch([t_K[tk], M, src_start, head_start, tgt_lrow,
-                       tgt_cpos], B, qb, [0, 0, -1, -1, -1, -1])
-    kw_a, m_a, ss_a, hs_a, lr_a, cp_a = (a.astype(idx_dtype) for a in arrs)
+    arrs = _pad_batch([t_K[tk], M, r0, src_start, head_start, tgt_lrow,
+                       tgt_cpos], B, qb, [0, 0, 0, -1, -1, -1, -1])
+    kw_a, m_a, r0_a, ss_a, hs_a, lr_a, cp_a = \
+        (a.astype(idx_dtype) for a in arrs)
     ea_idx, ea_rbase, ea_rel = _ea_group_tables(lr_a, srows)
     sds = _pad_batch([d], B, qb, [-1])[0].astype(np.int64)
     ub = UpdateBucketC(kw_a, m_a, ss_a,
@@ -931,7 +955,7 @@ def _make_update_bucket_t(sel, tid, t_d, t_s, t_lpos, t_N, t_K,
                        mp, kp, csp, int(srows), flops,
                        ea_idx=ea_idx, ea_rbase=ea_rbase, ea_rel=ea_rel,
                        ea_ng=np.asarray([len(ea_rbase)], np.int32),
-                       head_start=hs_a)
+                       head_start=hs_a, rstart=r0_a)
     ub.sds = sds
     return ub
 

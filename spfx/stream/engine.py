@@ -49,6 +49,11 @@ class _Stage:
     src_sns: np.ndarray            # descendant supernodes packed as input
     src_lo: np.ndarray             # (nsrc,) global start of each source
     src_len: np.ndarray            # (nsrc,) elements of each source
+    src_base: np.ndarray           # (nsrc,) stage-buffer position of each
+    #                                source, CONGRUENT to src_lo mod the
+    #                                DMA ALIGN tile (the update tables'
+    #                                superwindow row offsets were built
+    #                                from global starts)
     packed: int                    # total packed source elements
     storage: int                   # packed + own + slack (device buffer)
 
@@ -153,11 +158,20 @@ class StreamingCholesky:
             src_lo = offsets[srcs] if len(srcs) else np.zeros(0, np.int64)
             src_len = self.rows_elems[srcs] if len(srcs) \
                 else np.zeros(0, np.int64)
-            packed = int(src_len.sum())
+            # pack sources preserving start mod ALIGN (DMA superwindow
+            # congruence, see _Stage.src_base), then place the own region
+            # so its shift is a multiple of ALIGN too
+            from spfx.plan.schedule import ALIGN
+            src_base = np.zeros(len(srcs), dtype=np.int64)
+            cur = 0
+            for k in range(len(srcs)):
+                cur += (int(src_lo[k]) - cur) % ALIGN
+                src_base[k] = cur
+                cur += int(src_len[k])
+            packed = cur + (lo - cur) % ALIGN
             base = np.zeros(plan.offsets.shape[0], dtype=np.int64)
             if len(srcs):
-                base[srcs] = np.concatenate(
-                    [[0], np.cumsum(src_len)[:-1]])
+                base[srcs] = src_base
             own_off = packed - lo            # own region lands after packed
             levels = [self._rebase_level(plan.levels[li], sns, srcs, base,
                                          own_off, offsets, 0)
@@ -175,7 +189,7 @@ class StreamingCholesky:
                     storage = max(storage, int(ub.slab_lo[0]) + SLACK
                                   + ub.slab_rows * ub.csp)
             self.stages.append(_Stage(levels, lo, hi, srcs, src_lo,
-                                      src_len, packed, storage))
+                                      src_len, src_base, packed, storage))
 
     def _rebase_level(self, lp, own_sns, srcs, src_base, own_off,
                       offsets, storage):
@@ -231,10 +245,9 @@ class StreamingCholesky:
                 sp.tril(Ap.T, -1).tocsc().data.astype(dtype)
         for si, st in enumerate(self.stages):
             bufs = [np.zeros(st.storage, dtype=dtype) for _ in hosts]
-            base = np.concatenate([[0], np.cumsum(st.src_len)])
             for host, buf in zip(hosts, bufs):
                 for k in range(len(st.src_sns)):
-                    b = int(base[k])
+                    b = int(st.src_base[k])
                     buf[b:b + st.src_len[k]] = \
                         host[st.src_lo[k]:st.src_lo[k] + st.src_len[k]]
                 buf[st.packed:st.packed + (st.hi - st.lo)] = \
