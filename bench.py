@@ -243,11 +243,17 @@ def main():
     # sample below 5% of the single-shot time is discarded as noise.
     floor = 0.05 * single_shot
 
+    # keep sampling until ~70s remain: the residual gate (factorize + host
+    # refined solve) runs after the loop and must not be starved — the
+    # 2026-08-21 700s run spent its whole budget on 199 slope samples and
+    # skipped the gate
+    gate_reserve = 70.0
     best = float("inf")
     i = 0
     while True:
         left = budget - (time.perf_counter() - T0)
-        if i > 0 and (left <= 0 or best < float("inf") and left < 0.3 * best):
+        if i > 0 and (left <= gate_reserve
+                      or best < float("inf") and left < 0.3 * best):
             break
         try:
             dt, cost = slope_once()
@@ -277,7 +283,7 @@ def main():
         f"({gflops / roofline * 100:.1f}% of measured roofline)")
 
     # correctness gate (reference-style residual, SparseFrame.c:3262)
-    if budget - (time.perf_counter() - T0) > 30:
+    if budget - (time.perf_counter() - T0) > 20:
         f = ctx.factorize(A)
         b = synth_rhs(A)
         t0 = time.perf_counter()
