@@ -183,6 +183,13 @@ def _coarsen(adj: sp.csr_matrix, vw: np.ndarray, match: np.ndarray):
     return Ac, vwc, cmap
 
 
+_FM_SEP_CAP = 20000      # skip refinement on separators larger than this:
+#                          the per-vertex python loops would dominate
+#                          analyze time, and separators this large mean the
+#                          cut is poor anyway (the multilevel fallback or
+#                          another BFS start will beat it)
+
+
 def _fm_refine(adj: sp.csr_matrix, vw: np.ndarray, labels: np.ndarray,
                passes: int = 6) -> None:
     """Fiduccia–Mattheyses vertex-separator refinement, in place.
@@ -192,7 +199,10 @@ def _fm_refine(adj: sp.csr_matrix, vw: np.ndarray, labels: np.ndarray,
     non-negative-gain moves that respect the balance cap are applied, best
     first (lazy max-heap; stale entries re-validated at pop). Each vertex
     moves at most once per pass (classic FM locking — without it zero-gain
-    moves can cycle forever: v->A pulls u into S, u->B pulls v back)."""
+    moves can cycle forever: v->A pulls u into S, u->B pulls v back).
+    Total work is bounded: separators beyond _FM_SEP_CAP skip refinement."""
+    if int((labels == 2).sum()) > _FM_SEP_CAP:
+        return
     indptr, indices = adj.indptr, adj.indices
     m = adj.shape[0]
     total = float(vw.sum())
