@@ -290,24 +290,18 @@ def _chol_deltas_blocked(Draw, Braw, widths, nbelow, cp: int, rbp: int):
         # X L^T = Pb  ->  X = Pb @ inv^T (MXU)
         Pcol = jnp.einsum("brk,bjk->brj", Pb, inv,
                           preferred_element_type=M.dtype)
-        parts = [Lss, Pcol]
-        if s:
-            parts.insert(0, M[:, :s, s:e])
-        newcol = jnp.concatenate(parts, axis=1)
+        # static-offset slice updates instead of whole-panel concatenates:
+        # the concat form measured 10-18us of layout copies per block step
+        # (the panel is rebuilt NB-columns at a time)
+        M = M.at[:, s:e, s:e].set(Lss)
+        M = M.at[:, e:, s:e].set(Pcol)
         if e < cp:
             # trailing update rides the MXU; rows of Pcol aligned to the
             # future columns are its leading cp-e rows
             Pdiag = Pcol[:, :cp - e, :]
-            tail = M[:, e:, e:] - jnp.einsum(
+            M = M.at[:, e:, e:].add(-jnp.einsum(
                 "bik,bjk->bij", Pcol, Pdiag,
-                preferred_element_type=M.dtype)
-            right = jnp.concatenate([M[:, :e, e:], tail], axis=1)
-            M = jnp.concatenate(
-                ([M[:, :, :s], newcol, right] if s else [newcol, right]),
-                axis=2)
-        else:
-            M = jnp.concatenate([M[:, :, :s], newcol], axis=2) if s \
-                else newcol
+                preferred_element_type=M.dtype))
     # the trailing updates touched the diag window's upper half (zero by
     # the storage contract — assembly scatters lower-triangle entries
     # only); mask the final L11 back to lower so dD leaves it exactly zero
@@ -758,27 +752,20 @@ def _lu_deltas_blocked(DLraw, DUraw, BLraw, BUraw, widths, nbelow,
         rb = lax.broadcasted_iota(jnp.int32, (nbs, nbs), 0)
         cb = lax.broadcasted_iota(jnp.int32, (nbs, nbs), 1)
         Dnew = jnp.where((rb > cb)[None], Lb, 0.0) + Ub
-        newcol = jnp.concatenate(
-            ([Mf[:, :s, s:e]] if s else []) + [Dnew, Ld], axis=1)
+        # static-offset slice updates instead of whole-panel concatenates
+        # (see _chol_deltas_blocked)
+        Mf = Mf.at[:, s:e, s:e].set(Dnew)
+        Mf = Mf.at[:, e:, s:e].set(Ld)
         if e < cp:
-            tail = Mf[:, e:, e:] - ee("bik,bkj->bij", Ld, U12)
-            right = jnp.concatenate(
-                ([Mf[:, :s, e:]] if s else []) + [U12, tail], axis=1)
-            Mf = jnp.concatenate(
-                ([Mf[:, :, :s]] if s else []) + [newcol, right], axis=2)
-        else:
-            Mf = jnp.concatenate(
-                ([Mf[:, :, :s]] if s else []) + [newcol], axis=2)
+            Mf = Mf.at[:, s:e, e:].set(U12)
+            Mf = Mf.at[:, e:, e:].add(-ee("bik,bkj->bij", Ld, U12))
         if rbp:
             Lp = Lcol[:, cp - e:, :]
-            PLe = PL[:, :, e:] - ee("brk,bkj->brj", Lp, U12) \
-                if e < cp else PL[:, :, e:]
-            PUe = PU[:, :, e:] - ee("brk,bjk->brj", U12t_pu, Ld) \
-                if e < cp else PU[:, :, e:]
-            PL = jnp.concatenate(
-                ([PL[:, :, :s]] if s else []) + [Lp, PLe], axis=2)
-            PU = jnp.concatenate(
-                ([PU[:, :, :s]] if s else []) + [U12t_pu, PUe], axis=2)
+            if e < cp:
+                PL = PL.at[:, :, e:].add(-ee("brk,bkj->brj", Lp, U12))
+                PU = PU.at[:, :, e:].add(-ee("brk,bjk->brj", U12t_pu, Ld))
+            PL = PL.at[:, :, s:e].set(Lp)
+            PU = PU.at[:, :, s:e].set(U12t_pu)
     L11 = jnp.where((row > col)[None], Mf, 0.0) \
         + jnp.eye(cp, dtype=dt)[None]
     U11t = jnp.swapaxes(jnp.where((row <= col)[None], Mf, 0.0), 1, 2)
