@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from spfx.chol.factorize import CholeskyFactor
 from spfx.plan.schedule import (FactorPlan, LevelPlan, PanelBucketC,
-                                UpdateBucketC, build_plan, SLACK)
+                                UpdateBucketC, build_plan)
 from spfx.symbolic.analyze import analyze
 from spfx.utils.config import Config, DEFAULT
 
@@ -177,16 +177,21 @@ class StreamingCholesky:
                                          own_off, offsets, 0)
                       for li in level_ids]
             # stage buffer: packed sources + own region + whatever padded
-            # bucket tails / extend-add slabs overrun past it (globally
-            # those land on later panels; here they need real slack)
-            storage = packed + (hi - lo) + SLACK
+            # bucket tails / extend-add slabs / gather superwindows overrun
+            # past it (globally those land on later panels; here they need
+            # real slack). MUST be the plan's computed slack — it accounts
+            # the aligned superwindow sizes ((mp+ext)*kp etc.); the module
+            # SLACK floor alone let end-of-buffer DMA windows clip-shift and
+            # read garbage as real rows (NaN factors on TPU).
+            slk = plan.slack
+            storage = packed + (hi - lo) + slk
             for lvl in levels:
                 for pb in lvl.panels:
-                    storage = max(storage, int(pb.slab_lo[0]) + SLACK
+                    storage = max(storage, int(pb.slab_lo[0]) + slk
                                   + len(pb.widths) * (pb.cp + pb.rbp)
                                   * pb.cp)
                 for ub in lvl.updates:
-                    storage = max(storage, int(ub.slab_lo[0]) + SLACK
+                    storage = max(storage, int(ub.slab_lo[0]) + slk
                                   + ub.slab_rows * ub.csp)
             self.stages.append(_Stage(levels, lo, hi, srcs, src_lo,
                                       src_len, src_base, packed, storage))

@@ -97,3 +97,32 @@ def test_streaming_lu_poisson_residual():
     b = synth_rhs(A)
     x = f.solve(b)
     assert scaled_residual(A, x, b) < 1e-12
+
+
+def test_stage_buffers_cover_dma_superwindows():
+    """Every rebased gather superwindow (aligned DOWN to the DMA tile,
+    extended by ext rows) must fit inside its stage buffer: an overrun
+    makes the TPU DMA clip-shift the window and read garbage as real rows
+    (caught as NaN factors on hardware; the stage storage must use the
+    plan's computed slack, not the module SLACK floor)."""
+    from spfx.stream import StreamingCholesky
+    from spfx.plan.schedule import ALIGN
+    A = generate.laplacian_3d(7)
+    st = StreamingCholesky(A, CFG, stage_elems=1 << 13)
+    assert len(st.stages) > 2
+    for stage in st.stages:
+        for lvl in stage.levels:
+            for ub in lvl.updates:
+                if ub.head_start is None:
+                    continue
+                ext = ALIGN // ub.kp
+                for starts, rows in ((ub.src_start, ub.mp + ext),
+                                     (ub.head_start,
+                                      ub.tgt_cpos.shape[1])):
+                    s = np.asarray(starts, np.int64)
+                    s = s[s >= 0]
+                    if not len(s):
+                        continue
+                    al = (s // ALIGN) * ALIGN
+                    assert (al + rows * ub.kp <= stage.storage).all(), \
+                        (int((al + rows * ub.kp).max()), stage.storage)
