@@ -126,3 +126,30 @@ def test_tiled_tall_task_tiles():
     xt = tiny.factorize(A).solve(b, refine=0)
     xr = ref.factorize(A).solve(b, refine=0)
     np.testing.assert_allclose(xt, xr, rtol=1e-9, atol=1e-9)
+
+
+def test_incore_slack_covers_dma_superwindows():
+    """In-core plans: every aligned-down gather superwindow must end inside
+    plan.storage (the DMA clips at the buffer end; a clipped window shifts
+    its row base and silently reads garbage — see the stream engine's
+    stage-slack fix)."""
+    from spfx.plan.schedule import ALIGN, build_plan, UpdateBucketC
+    from spfx.symbolic.analyze import analyze
+    from spfx.utils.config import Config
+    A = generate.laplacian_3d(9)
+    cfg = Config(dtype="float32", ordering="nd")
+    sym = analyze(A, cfg)
+    plan = build_plan(sym, A, cfg)
+    for lp in plan.levels:
+        for ub in lp.updates:
+            if not isinstance(ub, UpdateBucketC) or ub.head_start is None:
+                continue
+            ext = ALIGN // ub.kp
+            for starts, rows in ((ub.src_start, ub.mp + ext),
+                                 (ub.head_start, ub.tgt_cpos.shape[1])):
+                s = np.asarray(starts, np.int64)
+                s = s[s >= 0]
+                if not len(s):
+                    continue
+                al = (s // ALIGN) * ALIGN
+                assert (al + rows * ub.kp <= plan.storage).all()
