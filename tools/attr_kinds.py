@@ -32,7 +32,7 @@ print(f"steps={len(cls_ids)} classes={len(kinds)}", flush=True)
 # cheapest step: smallest UC class (by mp*kp + srows*csp), chunk 0
 costs = []
 for c, (k, s) in enumerate(zip(kinds, statics)):
-    if k == "UC":
+    if k in ("UC", "UT"):
         mp, kp, csp, srows = s
         costs.append((mp * kp + srows * csp, c))
 cheap = min(costs)[1]
@@ -65,16 +65,16 @@ base = timed(allcheap, zeros, "floor (all cheap)")
 
 is_pc = np.asarray([kinds[c] == "PC" for c in cls_ids])
 cls_uc = np.where(is_pc, cheap, cls_ids); chk_uc = np.where(is_pc, 0, chunk_ids)
-t_uc = timed(cls_uc, chk_uc, "UC only (PC->cheap)")
+t_uc = timed(cls_uc, chk_uc, "UPD only (PC->cheap)")
 cls_pc = np.where(~is_pc, cheap, cls_ids); chk_pc = np.where(~is_pc, 0, chunk_ids)
-t_pc = timed(cls_pc, chk_pc, "PC only (UC->cheap)")
+t_pc = timed(cls_pc, chk_pc, "PC only (UPD->cheap)")
 print(f"PC total ~ {1e3*(full-t_uc):.0f} ms; UC total ~ {1e3*(full-t_pc):.0f} ms; floor {1e3*base:.0f} ms", flush=True)
 
 # split UC by csp
 for csp_sel in (64, 128, 256):
-    sel = np.asarray([kinds[c] == "UC" and statics[c][2] == csp_sel
+    sel = np.asarray([kinds[c] in ("UC", "UT") and statics[c][2] == csp_sel
                       for c in cls_ids])
     cls_v = np.where(sel, cls_ids, np.where(is_pc | True, cheap, cls_ids))
     cls_v = np.where(sel, cls_ids, cheap)
     chk_v = np.where(sel, chunk_ids, 0)
-    t = timed(cls_v, chk_v, f"UC csp={csp_sel} only")
+    t = timed(cls_v, chk_v, f"UPD csp={csp_sel} only")
