@@ -633,6 +633,20 @@ def _rng_mask(rstart, mrows, rows: int, dtype):
             & (mi < (rstart + mrows)[:, None])).astype(dtype)
 
 
+def _pair_gather_aligned(L, starts_a, rows_a: int, starts_b, rows_b: int,
+                         kp: int):
+    """Two superwindow gathers (source tiles + head windows) in ONE pallas
+    call (dma_gather2); non-DMA backends take two windowed XLA gathers."""
+    from spfx.kernels import pallas_blocks
+    if pallas_blocks.dma_ok(L.dtype):
+        A_, B_ = pallas_blocks.dma_gather2(L, starts_a, rows_a * kp,
+                                           starts_b, rows_b * kp)
+        return (A_.reshape(starts_a.shape[0], rows_a, kp),
+                B_.reshape(starts_b.shape[0], rows_b, kp))
+    return (_task_gather_aligned(L, starts_a, rows_a, kp),
+            _task_gather_aligned(L, starts_b, rows_b, kp))
+
+
 def update_rows_sym_t(L, kw, mrows, rstart, src_start, head_start,
                       tgt_cpos, mp: int, kp: int, csp: int):
     """M-TILED symmetric update rows (round-5 classes, see
@@ -640,15 +654,17 @@ def update_rows_sym_t(L, kw, mrows, rstart, src_start, head_start,
     a task; the task's N block is a separate head window.  Windows are
     ALIGN-superwindows (see _task_gather_aligned): the tile's true rows
     sit at [rstart, rstart+mrows), and head rows outside the true N carry
-    tgt_cpos == -1, so the one-hot drops those C columns."""
+    tgt_cpos == -1, so the one-hot drops those C columns.
+
+    G carries NO k-column mask: C sums over k and H's k-mask already
+    zeroes every k >= kw term, so masking G too was redundant work
+    (one (B, rows_g, kp) multiply + mask build per scan step)."""
     from spfx.kernels import pallas_blocks
     ext = pallas_blocks.ALIGN // kp
     rows_g = mp + ext
-    G = _task_gather_aligned(L, src_start, rows_g, kp)
-    G = G * _col_mask(kw, kp, L.dtype)[:, None, :] \
-        * _rng_mask(rstart, mrows, rows_g, L.dtype)[:, :, None]
     np_h = tgt_cpos.shape[1]
-    H = _task_gather_aligned(L, head_start, np_h, kp)
+    G, H = _pair_gather_aligned(L, src_start, rows_g, head_start, np_h, kp)
+    G = G * _rng_mask(rstart, mrows, rows_g, L.dtype)[:, :, None]
     H = H * _col_mask(kw, kp, L.dtype)[:, None, :]
     C = jnp.einsum("bmk,bnk->bmn", G, _conj(H),
                    preferred_element_type=L.dtype)
@@ -660,17 +676,23 @@ def update_rows_sym_t(L, kw, mrows, rstart, src_start, head_start,
 def update_rows_lu_t(Lx, Ux, kw, mrows, rstart, src_start, head_start,
                      tgt_cpos, mp: int, kp: int, csp: int):
     """M-tiled LU update rows: GEMM pair with separately gathered head
-    superwindows (cf. update_rows_lu_c / update_rows_sym_t)."""
+    superwindows (cf. update_rows_lu_c / update_rows_sym_t).  The G tiles
+    carry no k-mask — each product pairs a G with a k-masked H, which
+    zeroes the same terms (see update_rows_sym_t)."""
     from spfx.kernels import pallas_blocks
     ext = pallas_blocks.ALIGN // kp
     rows_g = mp + ext
+    np_h = tgt_cpos.shape[1]
     km = _col_mask(kw, kp, Lx.dtype)[:, None, :]
     rm = _rng_mask(rstart, mrows, rows_g, Lx.dtype)[:, :, None]
-    GL = _task_gather_aligned(Lx, src_start, rows_g, kp) * km * rm
-    GU = _task_gather_aligned(Ux, src_start, rows_g, kp) * km * rm
-    np_h = tgt_cpos.shape[1]
-    HL = _task_gather_aligned(Lx, head_start, np_h, kp) * km
-    HU = _task_gather_aligned(Ux, head_start, np_h, kp) * km
+    GL, HL = _pair_gather_aligned(Lx, src_start, rows_g, head_start, np_h,
+                                  kp)
+    GU, HU = _pair_gather_aligned(Ux, src_start, rows_g, head_start, np_h,
+                                  kp)
+    GL = GL * rm
+    GU = GU * rm
+    HL = HL * km
+    HU = HU * km
     CL = jnp.einsum("bmk,bnk->bmn", GL, HU,
                     preferred_element_type=Lx.dtype)
     CU = jnp.einsum("bmk,bnk->bmn", GU, HL,

@@ -97,6 +97,87 @@ def dma_gather(L, starts, win: int, ns: int = 8):
     )(starts, L).reshape(B, win)
 
 
+def dma_gather2(L, starts_a, win_a: int, starts_b, win_b: int, ns: int = 8):
+    """Two batched window gathers (e.g. a step's source superwindows AND its
+    head windows) in ONE pallas call — halves the per-step kernel-dispatch
+    cost of the mega scan's update branches (two dma_gather calls measured
+    ~11us + ~7us per step, tools/step_floor_probe.py).  Same alignment /
+    clipping / dead-task contract as dma_gather."""
+    assert win_a % ALIGN == 0 and win_b % ALIGN == 0, (win_a, win_b)
+    Ba, Bb = starts_a.shape[0], starts_b.shape[0]
+    lim_a, lim_b = L.shape[0] - win_a, L.shape[0] - win_b
+
+    def kernel(sa_ref, sb_ref, L_ref, oa_ref, ob_ref):
+        def body(sems):
+            def copy(i, slot):
+                # windows [0, Ba) are A-windows, [Ba, Ba+Bb) B-windows
+                in_a = i < Ba
+                j = jnp.where(in_a, i, i - Ba)
+                sr = jnp.where(in_a, jnp.clip(sa_ref[jnp.minimum(j, Ba - 1)],
+                                              0, lim_a),
+                               jnp.clip(sb_ref[jnp.minimum(j, Bb - 1)],
+                                        0, lim_b))
+                s = pl.multiple_of((sr // ALIGN) * ALIGN, ALIGN)
+
+                def mk(o_ref, base, win):
+                    d = pl.multiple_of(base * win, ALIGN)
+                    return pltpu.make_async_copy(
+                        L_ref.at[pl.ds(s, win)], o_ref.at[pl.ds(d, win)],
+                        sems.at[slot])
+                return in_a, mk, j
+
+            def start(i, slot):
+                in_a, mk, j = copy(i, slot)
+
+                @pl.when(in_a)
+                def _():
+                    mk(oa_ref, j, win_a).start()
+
+                @pl.when(jnp.logical_not(in_a))
+                def _():
+                    mk(ob_ref, j, win_b).start()
+
+            def wait(i, slot):
+                in_a, mk, j = copy(i, slot)
+
+                @pl.when(in_a)
+                def _():
+                    mk(oa_ref, j, win_a).wait()
+
+                @pl.when(jnp.logical_not(in_a))
+                def _():
+                    mk(ob_ref, j, win_b).wait()
+
+            total = Ba + Bb
+            for k in range(min(ns, total)):
+                start(jnp.int32(k), jnp.int32(k))
+
+            def loop(i, _):
+                wait(i, i % ns)
+
+                @pl.when(i + ns < total)
+                def _():
+                    start(i + ns, (i + ns) % ns)
+
+                return 0
+
+            jax.lax.fori_loop(0, total, loop, 0)
+
+        pl.run_scoped(body, pltpu.SemaphoreType.DMA((ns,)))
+
+    oa, ob = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((Ba * win_a,), L.dtype),
+                   jax.ShapeDtypeStruct((Bb * win_b,), L.dtype)],
+    )(starts_a, starts_b, L)
+    return oa.reshape(Ba, win_a), ob.reshape(Bb, win_b)
+
+
 # --------------------------------------------------------------------------
 # Fused batched SYRK + GEMM panel update:
 #   S[b] = A[b] @ A[b]^T          (n x n)

@@ -200,3 +200,68 @@ for ns, name in [(2, "v9b v7 in 2-branch switch"), (59, "v9 v7 in 59-branch swit
         print(f"{name:>30}: {dt/NSTEP*1e6:7.1f} us/step  ({time.time()-t0:.0f}s)", flush=True)
     except Exception as e:
         print(f"{name:>30}: FAILED {type(e).__name__} {str(e)[:150]}", flush=True)
+
+# ---- v12: nested switch: cond(kind) -> switch over subset ----
+def build_nested(n1, n2):
+    def step_body(L, off, st, step, erb, erl, eai):
+        # same body as build_ea's
+        G = dma_gather(L, st, WING).reshape(B, ROWS_G, KP)
+        H = dma_gather(L, st, WINH)[:, :NP * KP].reshape(B, NP, KP)
+        row = lax.dynamic_slice(buf, (step * TOT, ), (TOT,))
+        kw = row[:B] % KP; mr = row[B:2*B] % MP; rs_ = row[2*B:3*B] % 32
+        cpos = (row[TOT-B*NP:] % CSP).reshape(B, NP)
+        km = (jnp.arange(KP)[None, :] < kw[:, None]).astype(jnp.float32)
+        rm = ((jnp.arange(ROWS_G)[None, :] >= rs_[:, None])
+              & (jnp.arange(ROWS_G)[None, :] < (rs_ + mr)[:, None])).astype(jnp.float32)
+        C = jnp.einsum("bmk,bnk->bmn", G * rm[:, :, None], H * km[:, None, :],
+                       preferred_element_type=jnp.float32)
+        oh = (cpos[:, :, None] == jnp.arange(CSP)[None, None, :]).astype(jnp.float32)
+        E = jnp.einsum("bmn,bnc->bmc", C, oh, preferred_element_type=jnp.float32)
+        reg = lax.dynamic_slice(L, (off,), (SMAX,))
+        slab = reg[:SMAX].reshape(SMAX // CSP, CSP)
+        Ef = E.reshape(-1, CSP)
+        iw = jnp.arange(W2, dtype=jnp.int32)
+        def gbody(g, slab):
+            rb = erb[g]
+            rel = lax.dynamic_index_in_dim(erl, g, 0, keepdims=False)
+            idx = lax.dynamic_slice(eai, (g * EA_G2,), (EA_G2,))
+            ec = Ef[idx]
+            ohg = (iw[:, None] == rel[None, :]).astype(jnp.float32)
+            delta = jnp.einsum("wg,gc->wc", ohg, ec, precision=lax.Precision.HIGHEST)
+            win = lax.dynamic_slice(slab, (rb, jnp.int32(0)), (W2, CSP))
+            return lax.dynamic_update_slice(slab, win - delta, (rb, jnp.int32(0)))
+        slab = lax.fori_loop(0, jnp.int32(NG), gbody, slab)
+        return slab.reshape(-1), off
+
+    mkbr = lambda: (lambda L, off, st, step, erb, erl, eai:
+                    step_body(L, off, st, step, erb, erl, eai))
+    brs1 = [mkbr() for _ in range(n1)]
+    brs2 = [mkbr() for _ in range(n2)]
+
+    def body(L, xs):
+        off, st, step, erb, erl, eai, c = xs
+        def side1(L):
+            return lax.switch(c % n1, brs1, L, off, st, step, erb, erl, eai)
+        def side2(L):
+            return lax.switch(c % n2, brs2, L, off, st, step, erb, erl, eai)
+        reg, off2 = lax.cond(c % 2 == 0, side1, side2, L)
+        return lax.dynamic_update_slice(L, reg, (off2,)), None
+
+    def once(L):
+        L, _ = lax.scan(body, L, (offs, starts, jnp.arange(NSTEP, dtype=jnp.int32),
+                                  ea_rbase, ea_rel, ea_idx,
+                                  jnp.arange(NSTEP, dtype=jnp.int32)))
+        return L
+
+    @jax.jit
+    def run(reps, L0):
+        return lax.fori_loop(0, reps, lambda r, L: once(L + jnp.float32(1e-30) * r), L0)
+    return run
+
+t0 = time.time()
+try:
+    run = build_nested(30, 29)
+    dt = slope(run, L0)
+    print(f"{'v12 cond(30/29 switches)':>30}: {dt/NSTEP*1e6:7.1f} us/step  ({time.time()-t0:.0f}s)", flush=True)
+except Exception as e:
+    print(f"v12: FAILED {type(e).__name__} {str(e)[:150]}", flush=True)
