@@ -169,6 +169,16 @@ def route_panel(cp: int, rbp: int, B: int, itemsize: int = 4,
     forced = os.environ.get("SPFX_PANEL_KERNEL", "")
     if forced == "blocked":
         return "blocked"
+    if forced == "mixed":
+        # single-pallas-call panel kernel wherever it fits, blocked-MXU
+        # otherwise: the scan's per-step floor scales with the TOTAL HLO
+        # code across switch branches (tools/step_floor_probe.py v9/v12 —
+        # nesting doesn't help, only less code does), and the blocked
+        # route unrolls cp/NB block steps of XLA glue per class
+        if cp <= LANES_CP_MAX and \
+                lanes_panel_bytes(cp, rbp, B, itemsize, lu) <= CAP_ROUTE:
+            return "lanes"
+        return "blocked"
     if forced and forced != "auto":
         lanes_fit = cp <= LANES_CP_MAX and \
             lanes_panel_bytes(cp, rbp, B, itemsize, lu) <= CAP_ROUTE

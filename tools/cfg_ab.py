@@ -28,6 +28,9 @@ VARIANTS = [
     ("sn128-cm32", dict(max_sn_cols=128, relax_width=(32, 64, 128),
                         relax_fill=(1.0, 0.8, 0.5), class_min=32)),
     ("sn256-cm64", dict(class_min=64)),
+    ("bf2x", dict(class_min=32, batch_floor_elems=1 << 18)),
+    ("bf4x", dict(class_min=32, batch_floor_elems=1 << 19,
+                  max_gather_elems=1 << 26)),
 ]
 if os.environ.get("SPFX_AB_ONLY"):
     keep = os.environ["SPFX_AB_ONLY"].split(",")
