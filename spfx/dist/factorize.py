@@ -232,9 +232,14 @@ class _ShardedBase:
                 spec.append((tuple(upds), tuple(panels)))
             in_specs = (P(),) * nstate + (P(self.axis),) * len(args)
             out_specs = P() if nstate == 1 else (P(), P())
+            # check_vma=False: the panel branches route through pallas
+            # kernels whose out_shape ShapeDtypeStructs carry no vma, which
+            # current shard_map rejects under its default varying-axes
+            # check (same setting as spfx.dist.subtree)
             fn = jax.jit(
                 jax.shard_map(mk(tuple(spec), self.axis), mesh=self.mesh,
-                              in_specs=in_specs, out_specs=out_specs),
+                              in_specs=in_specs, out_specs=out_specs,
+                              check_vma=False),
                 donate_argnums=tuple(range(nstate)))
             self.chunks.append((fn, args))
 
